@@ -1,0 +1,249 @@
+"""The flagship model: Stereo R-CNN, end-to-end jit-compiled.
+
+Behavioral reference: ``lib/model/stereo_rcnn/stereo_rcnn.py`` —
+``_StereoRCNN.forward`` (SURVEY.md §3.4): shared-weight backbone over left
+and right images, stereo RPN on per-level concatenated features, paired
+RoIAlign (left feats x left rois, right feats x right rois), concatenated
+pooled features through the FC trunk to cls/box/dim-orien heads, and a
+keypoint branch on left pooled features.
+
+TPU design:
+  * The left/right backbone applications are fused into ONE batched call
+    ([2B, H, W, 3]) — twice the MXU batch, zero extra weights.
+  * Every stage is fixed-shape; per-image ragged work (proposal selection,
+    RoIAlign) is vmapped over the batch.
+  * Inference postprocessing (per-class NMS, top-k detections) is inside
+    jit; the host only receives final padded detections.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stereo_rcnn_tpu.config import Config
+from stereo_rcnn_tpu.geometry.anchors import generate_anchors
+from stereo_rcnn_tpu.geometry.boxes import (clip_boxes, decode_stereo_boxes,
+                                            union_box)
+from stereo_rcnn_tpu.models.heads import KeypointHead, RCNNHead, RCNNOutputs
+from stereo_rcnn_tpu.models.resnet_fpn import ResNetFPN
+from stereo_rcnn_tpu.models.stereo_rpn import (Proposals, StereoRPNHead,
+                                               select_proposals)
+from stereo_rcnn_tpu.ops.nms import nms_indices
+from stereo_rcnn_tpu.ops.roi_align import multilevel_roi_align
+
+
+class StereoRCNN(nn.Module):
+    """Container module exposing the three parameterised stages.
+
+    Use the ``backbone`` / ``rpn`` / ``heads`` methods via
+    ``module.apply(params, ..., method=...)``; composition lives in the
+    functional pipelines below so that training can interpose target
+    sampling between RPN and the heads.
+    """
+
+    cfg: Config
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.dtype(c.compute_dtype)
+        self.backbone_net = ResNetFPN(
+            depth=c.backbone.depth, fpn_dim=c.backbone.fpn_dim,
+            frozen_stages=c.backbone.frozen_stages, dtype=dtype)
+        self.rpn_head = StereoRPNHead(
+            num_anchors=c.anchors.num_anchors_per_cell,
+            conv_dim=c.rpn.conv_dim, dtype=dtype)
+        self.rcnn_head = RCNNHead(num_classes=c.rcnn.num_classes,
+                                  fc_dim=c.rcnn.fc_dim, dtype=dtype)
+        self.kpt_head = KeypointHead(grid=c.rcnn.kpt_grid, dtype=dtype)
+
+    def backbone(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """images: [N, H, W, 3] mean-subtracted BGR."""
+        return self.backbone_net(images)
+
+    def rpn(self, feats_left, feats_right):
+        return self.rpn_head(feats_left, feats_right)
+
+    def heads(self, pooled_concat: jnp.ndarray) -> RCNNOutputs:
+        return self.rcnn_head(pooled_concat)
+
+    def keypoints(self, pooled_left: jnp.ndarray) -> jnp.ndarray:
+        return self.kpt_head(pooled_left)
+
+    def __call__(self, images_left: jnp.ndarray, images_right: jnp.ndarray):
+        """Init-friendly full pass on one batch (inference path)."""
+        return forward_raw(self, images_left, images_right, train=False)
+
+
+# ---------------------------------------------------------------------------
+# Functional composition (usable both inside module.init and under apply).
+# ---------------------------------------------------------------------------
+
+def forward_raw(model: StereoRCNN, images_left: jnp.ndarray,
+                images_right: jnp.ndarray, train: bool):
+    """Backbone + RPN + proposals + paired RoIAlign + heads, batched.
+
+    Returns a dict of raw network outputs with static shapes.
+    """
+    cfg = model.cfg
+    b, im_h, im_w, _ = images_left.shape
+
+    # One fused backbone call for both streams (shared weights).
+    feats = model.backbone(jnp.concatenate([images_left, images_right], 0))
+    feats_l = [f[:b] for f in feats]
+    feats_r = [f[b:] for f in feats]
+
+    logits, deltas = model.rpn(feats_l, feats_r)             # [B, A, 2|6]
+
+    anchors = generate_anchors(cfg.anchors, im_h, im_w)
+    sel = functools.partial(select_proposals, anchors=anchors, im_h=im_h,
+                            im_w=im_w, cfg=cfg.rpn, train=train)
+    props: Proposals = jax.vmap(sel)(logits, deltas)         # [B, N, ...]
+
+    pooled = roi_features(model, feats_l, feats_r, props.left, props.right)
+    outputs = model.heads(pooled["concat"])
+    kpt_logits = model.keypoints(pooled["left_kpt"])
+
+    n = props.left.shape[1]
+    return {
+        "rpn_logits": logits,
+        "rpn_deltas": deltas,
+        "anchors": anchors,
+        "proposals": props,
+        "rcnn": jax.tree.map(lambda x: x.reshape(b, n, *x.shape[1:]),
+                             outputs),
+        "kpt_logits": kpt_logits.reshape(b, n, *kpt_logits.shape[1:]),
+    }
+
+
+def roi_features(model: StereoRCNN, feats_l, feats_r, rois_left, rois_right):
+    """Paired multilevel RoIAlign producing the head inputs.
+
+    rois_*: [B, N, 4].  Returns dict with
+      concat: [B*N, P, P, 2C]  (left||right, for the FC trunk)
+      left_kpt: [B*N, Pk, Pk, C] (left-only, for the keypoint branch)
+    """
+    cfg = model.cfg
+    strides = cfg.anchors.strides[:4]                 # rois use P2..P5 only
+    p = cfg.rcnn.pooling_size
+    pk = cfg.rcnn.kpt_pool_size
+    sr = cfg.rcnn.sampling_ratio
+
+    def align(feats, rois, size):
+        fn = functools.partial(multilevel_roi_align, strides=strides,
+                               output_size=size, sampling_ratio=sr)
+        return jax.vmap(fn)(
+            [f for f in feats[:4]], rois)             # [B, N, s, s, C]
+
+    pl_ = align(feats_l, rois_left, p)
+    pr_ = align(feats_r, rois_right, p)
+    pk_l = align(feats_l, rois_left, pk)
+    b, n = rois_left.shape[:2]
+    c = pl_.shape[-1]
+    return {
+        "concat": jnp.concatenate([pl_, pr_], axis=-1)
+                    .reshape(b * n, p, p, 2 * c),
+        "left_kpt": pk_l.reshape(b * n, pk, pk, c),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Inference post-processing: final detections (fixed shape).
+# ---------------------------------------------------------------------------
+
+class Detections(NamedTuple):
+    """Padded per-image detections (all [B, D, ...])."""
+
+    box_left: jnp.ndarray     # [B, D, 4]
+    box_right: jnp.ndarray    # [B, D, 4]
+    score: jnp.ndarray        # [B, D]
+    cls: jnp.ndarray          # [B, D] int (1 = Car)
+    dims: jnp.ndarray         # [B, D, 3] (h, w, l) metres
+    alpha: jnp.ndarray        # [B, D] viewpoint angle
+    kpt_u: jnp.ndarray        # [B, D, 4] perspective keypoint u (image px)
+    kpt_prob: jnp.ndarray     # [B, D, 4] confidence of each kpt channel
+    border_u: jnp.ndarray     # [B, D, 2] visible-boundary u (image px)
+    valid: jnp.ndarray        # [B, D] bool
+
+
+def postprocess(raw: dict, cfg: Config, im_h: int, im_w: int) -> Detections:
+    """Decode head outputs into final padded detections, per image.
+
+    Reference: the decode + per-class threshold + NMS block of ``demo.py`` /
+    ``test_net.py`` (SURVEY.md §3.1 "post" step).
+    """
+
+    def one_image(props: Proposals, rcnn: RCNNOutputs, kpt_logits):
+        n = props.left.shape[0]
+        rc = cfg.rcnn
+        probs = jax.nn.softmax(rcnn.cls_logits, axis=-1)     # [N, K]
+        # Car-only pipeline: class 1.  (Generalises by vmapping over class.)
+        score = jnp.where(props.valid, probs[:, 1], 0.0)
+        deltas = rcnn.box_deltas[:, 1, :]
+        box_l, box_r = decode_stereo_boxes(props.left, deltas)
+        box_l = clip_boxes(box_l, im_h, im_w)
+        box_r = clip_boxes(box_r, im_h, im_w)
+
+        keep = score >= rc.score_thresh
+        idx, valid = nms_indices(union_box(box_l, box_r), score,
+                                 rc.final_nms_thresh, rc.max_detections,
+                                 valid=keep)
+        box_l, box_r = box_l[idx], box_r[idx]
+        score = score[idx]
+        dims = jnp.asarray(rc.mean_dims_hwl) + rcnn.dims[idx, 1, :]
+        sin_a, cos_a = rcnn.orien[idx, 1, 0], rcnn.orien[idx, 1, 1]
+        alpha = jnp.arctan2(sin_a, cos_a)
+
+        # Keypoint decode: bins span the LEFT box width.
+        kl = kpt_logits[idx]                                 # [D, 6, G]
+        kprob = jax.nn.softmax(kl, axis=-1)
+        g = kl.shape[-1]
+        bin_idx = jnp.argmax(kl, axis=-1).astype(jnp.float32)  # [D, 6]
+        w = box_l[:, 2:3] - box_l[:, 0:1]
+        u = box_l[:, 0:1] + (bin_idx + 0.5) / g * w          # [D, 6]
+        peak = jnp.take_along_axis(
+            kprob, jnp.argmax(kl, -1)[..., None], -1)[..., 0]  # [D, 6]
+        return Detections(
+            box_left=box_l, box_right=box_r, score=score,
+            cls=jnp.ones((rc.max_detections,), jnp.int32),
+            dims=dims, alpha=alpha,
+            kpt_u=u[:, :4], kpt_prob=peak[:, :4], border_u=u[:, 4:6],
+            valid=valid & (score > 0),
+        )
+
+    return jax.vmap(one_image)(raw["proposals"], raw["rcnn"],
+                               raw["kpt_logits"])
+
+
+def build_model(cfg: Config) -> StereoRCNN:
+    return StereoRCNN(cfg=cfg)
+
+
+def init_params(cfg: Config, rng: jax.Array, im_h: int | None = None,
+                im_w: int | None = None):
+    model = build_model(cfg)
+    h = im_h or cfg.data.image_h
+    w = im_w or cfg.data.image_w
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    return model.init(rng, dummy, dummy)
+
+
+def make_inference_fn(cfg: Config, im_h: int | None = None,
+                      im_w: int | None = None):
+    """Returns jittable ``fn(params, images_left, images_right) ->
+    Detections`` — the canonical end-to-end inference path."""
+    model = build_model(cfg)
+    h = im_h or cfg.data.image_h
+    w = im_w or cfg.data.image_w
+
+    def fn(params, images_left, images_right):
+        raw = model.apply(params, images_left, images_right,
+                          method=lambda m, l, r: forward_raw(m, l, r,
+                                                             train=False))
+        return postprocess(raw, cfg, h, w)
+
+    return fn
