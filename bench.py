@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end jit-compiled Stereo R-CNN inference throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference runs ~3.6 stereo pairs/s on a Titan Xp
+(BASELINE.md); target is >20 pairs/s/chip on v5e.
+
+Runs on whatever the default JAX platform is (the real TPU chip under the
+driver).  Uses the production config: ResNet-101 + FPN at 1280x384,
+full detector with fixed-shape NMS and keypoint decode, plus the batched
+3D solver + dense photometric alignment chained on the detections —
+i.e. the complete demo.py-equivalent hot path, not just the network.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Persistent XLA compilation cache: the full pipeline (network + batched GN
+# solver + dense alignment) is a large program; caching makes repeat bench
+# runs start in seconds instead of minutes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_stereo"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+def main():
+    from stereo_rcnn_tpu.config import Config
+    from stereo_rcnn_tpu.geometry import default_kitti_calib
+    from stereo_rcnn_tpu.inference import make_full_pipeline
+    from stereo_rcnn_tpu.models import init_params
+
+    cfg = Config()
+    h, w = cfg.data.image_h, cfg.data.image_w
+    batch = 8
+    calib = default_kitti_calib()
+    scale = min(h / 375.0, w / 1242.0)
+
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    fn = jax.jit(make_full_pipeline(cfg, calib.scale(scale)))
+
+    key = jax.random.PRNGKey(1)
+    left = jax.random.uniform(key, (batch, h, w, 3), minval=-120, maxval=120)
+    right = left + 1.0
+
+    def run_synced(f, *a):
+        """Run + force a host readback — on the tunneled TPU backend
+        ``block_until_ready`` returns before device completion, so a scalar
+        device->host pull is the only honest sync."""
+        out = f(*a)
+        float(out.residual.sum())
+        return out
+
+    run_synced(fn, params, left, right)                        # compile
+    t0 = time.time()
+    iters = 20
+    for _ in range(iters):
+        run_synced(fn, params, left, right)
+    dt = (time.time() - t0) / iters
+    pairs_per_sec = batch / dt
+
+    # p50 per-pair latency at batch 1 (first-class metric per BASELINE.md).
+    lat = []
+    l1, r1 = left[:1], right[:1]
+    fn1 = jax.jit(make_full_pipeline(cfg, calib.scale(scale)))
+    run_synced(fn1, params, l1, r1)
+    for _ in range(20):
+        t = time.time()
+        run_synced(fn1, params, l1, r1)
+        lat.append(time.time() - t)
+    p50_ms = sorted(lat)[len(lat) // 2] * 1000
+
+    print(json.dumps({
+        "metric": "stereo_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / 3.6, 2),
+        "p50_latency_ms_batch1": round(p50_ms, 2),
+        "batch": batch,
+        "resolution": [h, w],
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

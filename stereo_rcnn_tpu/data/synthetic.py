@@ -1,0 +1,154 @@
+"""Synthetic KITTI-like stereo scenes for tests and smoke training.
+
+Replaces the role of the reference's bundled ``data/demo`` sample (the
+actual KITTI dataset is downloaded out-of-band and is not available in this
+environment).  Generates physically-consistent scenes: random 3D car boxes
+projected through a nominal KITTI calibration into paired left/right
+images, with textured box regions so photometric alignment has signal.
+Also writes KITTI-format label/calib files so the dataset reader and
+evaluator can be tested end-to-end against known ground truth.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from stereo_rcnn_tpu.config import Config
+from stereo_rcnn_tpu.data.kitti import (KittiObject, annotations_for_frame,
+                                        pack_ground_truth)
+from stereo_rcnn_tpu.geometry.calib import StereoCalib, default_kitti_calib
+from stereo_rcnn_tpu.train.targets import GroundTruth
+
+
+def random_scene(rng: np.random.RandomState, n_objects: int,
+                 calib: StereoCalib, im_h: int, im_w: int
+                 ) -> List[KittiObject]:
+    """Sample non-overlapping-ish car poses fully visible in both views."""
+    objs = []
+    tries = 0
+    while len(objs) < n_objects and tries < 200:
+        tries += 1
+        z = rng.uniform(8.0, 40.0)
+        x = rng.uniform(-0.35, 0.35) * z
+        y = 1.65 + rng.uniform(-0.1, 0.1)
+        dims = np.array([rng.uniform(1.4, 1.8), rng.uniform(1.5, 1.8),
+                         rng.uniform(3.4, 4.5)], np.float32)
+        ry = rng.uniform(-np.pi, np.pi)
+        from stereo_rcnn_tpu.data.kitti import (_all_corners_cam, _project_np)
+        corners = _all_corners_cam(np.array([x, y, z]), dims, ry)
+        uv_l = _project_np(corners, calib)
+        uv_r = _project_np(corners, calib, right=True)
+        box = np.array([uv_l[:, 0].min(), uv_l[:, 1].min(),
+                        uv_l[:, 0].max(), uv_l[:, 1].max()], np.float32)
+        if (box[0] < 2 or box[1] < 2 or box[2] > im_w - 2 or
+                box[3] > im_h - 2 or uv_r[:, 0].min() < 2):
+            continue
+        if any(_iou(box, o.box) > 0.2 for o in objs):
+            continue
+        alpha = ry - np.arctan2(x, z)
+        alpha = (alpha + np.pi) % (2 * np.pi) - np.pi
+        objs.append(KittiObject(
+            type="Car", truncation=0.0, occlusion=0, alpha=float(alpha),
+            box=box, dims=dims, location=np.array([x, y, z], np.float32),
+            ry=float(ry)))
+    # Sort far-to-near so nearer cars paint over farther ones.
+    objs.sort(key=lambda o: -o.location[2])
+    return objs
+
+
+def _iou(a: np.ndarray, b: np.ndarray) -> float:
+    lt = np.maximum(a[:2], b[:2])
+    rb = np.minimum(a[2:], b[2:])
+    wh = np.maximum(rb - lt, 0)
+    inter = wh[0] * wh[1]
+    area = ((a[2] - a[0]) * (a[3] - a[1]) +
+            (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return float(inter / max(area, 1e-9))
+
+
+def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
+                im_w: int, rng: np.random.RandomState
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Paint each car as a textured rectangle at its (per-view) 2D box with
+    the correct disparity; background is smooth noise.  Returns float32
+    BGR-ish images in [0, 255], shape [H, W, 3]."""
+    def smooth_noise():
+        small = rng.rand(im_h // 8 + 1, im_w // 8 + 1, 3) * 255
+        img = np.kron(small, np.ones((8, 8, 1)))[:im_h, :im_w]
+        return img.astype(np.float32)
+
+    left = smooth_noise()
+    right = left.copy()
+    from stereo_rcnn_tpu.data.kitti import _all_corners_cam, _project_np
+    for o in objs:
+        corners = _all_corners_cam(o.location, o.dims, o.ry)
+        for is_right, img in ((False, left), (True, right)):
+            uv = _project_np(corners, calib, right=is_right)
+            x1, y1 = uv[:, 0].min(), uv[:, 1].min()
+            x2, y2 = uv[:, 0].max(), uv[:, 1].max()
+            xi1, yi1 = max(int(x1), 0), max(int(y1), 0)
+            xi2, yi2 = min(int(x2), im_w), min(int(y2), im_h)
+            if xi2 <= xi1 or yi2 <= yi1:
+                continue
+            # Texture in OBJECT surface coordinates so both views see the
+            # same pattern (u indexed from the box's left edge).
+            tex_rng = np.random.RandomState(int(abs(o.location[2]) * 100))
+            tex = tex_rng.rand(yi2 - yi1 + 2, xi2 - xi1 + 2, 3) * 255
+            tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, 1, 1)) / 3
+            img[yi1:yi2, xi1:xi2] = tex[:yi2 - yi1, :xi2 - xi1]
+    return left, right
+
+
+def synthetic_batch(cfg: Config, batch: int, seed: int = 0,
+                    n_objects: int = 4):
+    """Images + packed GroundTruth for ``train.step.Batch``."""
+    calib = default_kitti_calib()
+    h, w = cfg.data.image_h, cfg.data.image_w
+    # Scale nominal KITTI calib (1242x375) to our working resolution.
+    scale = min(w / 1242.0, h / 375.0)
+    calib_s = calib.scale(scale)
+    rng = np.random.RandomState(seed)
+    imgs_l, imgs_r, gts = [], [], []
+    means = np.asarray(cfg.backbone.pixel_means_bgr, np.float32)
+    for b in range(batch):
+        objs = random_scene(rng, n_objects, calib_s, h, w)
+        il, ir = render_pair(objs, calib_s, h, w, rng)
+        annos = annotations_for_frame(objs, calib_s, float(w), cfg.data)
+        gt_arrays = pack_ground_truth(annos, cfg.train.max_gt_boxes)
+        imgs_l.append(il - means)
+        imgs_r.append(ir - means)
+        gts.append(gt_arrays)
+    gt = GroundTruth(*[np.stack([g[i] for g in gts]) for i in range(10)])
+    return (np.stack(imgs_l), np.stack(imgs_r), gt, calib_s)
+
+
+def write_kitti_frame(root: str, frame_id: str, objs: List[KittiObject],
+                      calib: StereoCalib, left: np.ndarray,
+                      right: np.ndarray) -> None:
+    """Write a KITTI-format frame (labels + calib + raw .npy images) for
+    dataset-reader tests.  Images are stored as .npy to avoid an image
+    codec dependency."""
+    for sub in ("label_2", "calib", "image_2", "image_3"):
+        os.makedirs(os.path.join(root, "training", sub), exist_ok=True)
+    with open(os.path.join(root, "training", "label_2",
+                           f"{frame_id}.txt"), "w") as f:
+        for o in objs:
+            f.write(
+                f"{o.type} {o.truncation:.2f} {o.occlusion} {o.alpha:.6f} "
+                f"{o.box[0]:.2f} {o.box[1]:.2f} {o.box[2]:.2f} {o.box[3]:.2f} "
+                f"{o.dims[0]:.2f} {o.dims[1]:.2f} {o.dims[2]:.2f} "
+                f"{o.location[0]:.2f} {o.location[1]:.2f} "
+                f"{o.location[2]:.2f} {o.ry:.6f}\n")
+    p2 = np.asarray(calib.p2).reshape(-1)
+    p3 = np.asarray(calib.p3).reshape(-1)
+    with open(os.path.join(root, "training", "calib",
+                           f"{frame_id}.txt"), "w") as f:
+        f.write("P2: " + " ".join(f"{x:.12e}" for x in p2) + "\n")
+        f.write("P3: " + " ".join(f"{x:.12e}" for x in p3) + "\n")
+    np.save(os.path.join(root, "training", "image_2", f"{frame_id}.npy"),
+            left)
+    np.save(os.path.join(root, "training", "image_3", f"{frame_id}.npy"),
+            right)

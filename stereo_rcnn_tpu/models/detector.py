@@ -133,15 +133,15 @@ def roi_features(model: StereoRCNN, feats_l, feats_r, rois_left, rois_right):
     pk = cfg.rcnn.kpt_pool_size
     sr = cfg.rcnn.sampling_ratio
 
-    def align(feats, rois, size):
-        fn = functools.partial(multilevel_roi_align, strides=strides,
-                               output_size=size, sampling_ratio=sr)
-        return jax.vmap(fn)(
-            [f for f in feats[:4]], rois)             # [B, N, s, s, C]
+    def align(feats, rois, size, sampling):
+        return multilevel_roi_align(list(feats[:4]), rois, strides, size,
+                                    sampling)         # [B, N, s, s, C]
 
-    pl_ = align(feats_l, rois_left, p)
-    pr_ = align(feats_r, rois_right, p)
-    pk_l = align(feats_l, rois_left, pk)
+    pl_ = align(feats_l, rois_left, p, sr)
+    pr_ = align(feats_r, rois_right, p, sr)
+    # Keypoint pool: 14x14 output already oversamples the bins — use
+    # sampling_ratio 1 (4x fewer gather taps than the 7x7 heads' ratio 2).
+    pk_l = align(feats_l, rois_left, pk, 1)
     b, n = rois_left.shape[:2]
     c = pl_.shape[-1]
     return {
@@ -164,8 +164,9 @@ class Detections(NamedTuple):
     cls: jnp.ndarray          # [B, D] int (1 = Car)
     dims: jnp.ndarray         # [B, D, 3] (h, w, l) metres
     alpha: jnp.ndarray        # [B, D] viewpoint angle
-    kpt_u: jnp.ndarray        # [B, D, 4] perspective keypoint u (image px)
-    kpt_prob: jnp.ndarray     # [B, D, 4] confidence of each kpt channel
+    kpt_u: jnp.ndarray        # [B, D] perspective keypoint u (image px)
+    kpt_type: jnp.ndarray     # [B, D] int corner index 0..3 of that keypoint
+    kpt_prob: jnp.ndarray     # [B, D] confidence of the keypoint peak
     border_u: jnp.ndarray     # [B, D, 2] visible-boundary u (image px)
     valid: jnp.ndarray        # [B, D] bool
 
@@ -198,20 +199,29 @@ def postprocess(raw: dict, cfg: Config, im_h: int, im_w: int) -> Detections:
         sin_a, cos_a = rcnn.orien[idx, 1, 0], rcnn.orien[idx, 1, 1]
         alpha = jnp.arctan2(sin_a, cos_a)
 
-        # Keypoint decode: bins span the LEFT box width.
+        # Keypoint decode (reference semantics, SURVEY.md §3.4 fact 5):
+        # channels 0..3 form a JOINT distribution over (corner type, u-bin)
+        # — softmax over 4*G — localising which vertical edge is visible and
+        # where; channels 4..5 are independent G-bin boundary distributions.
+        # Bins span the LEFT box width.
         kl = kpt_logits[idx]                                 # [D, 6, G]
-        kprob = jax.nn.softmax(kl, axis=-1)
         g = kl.shape[-1]
-        bin_idx = jnp.argmax(kl, axis=-1).astype(jnp.float32)  # [D, 6]
-        w = box_l[:, 2:3] - box_l[:, 0:1]
-        u = box_l[:, 0:1] + (bin_idx + 0.5) / g * w          # [D, 6]
-        peak = jnp.take_along_axis(
-            kprob, jnp.argmax(kl, -1)[..., None], -1)[..., 0]  # [D, 6]
+        d = kl.shape[0]
+        persp = kl[:, :4, :].reshape(d, 4 * g)
+        persp_prob = jax.nn.softmax(persp, axis=-1)
+        flat_idx = jnp.argmax(persp, axis=-1)                # [D]
+        kpt_type = (flat_idx // g).astype(jnp.int32)
+        kpt_bin = (flat_idx % g).astype(jnp.float32)
+        peak = jnp.take_along_axis(persp_prob, flat_idx[:, None], 1)[:, 0]
+        w = box_l[:, 2] - box_l[:, 0]
+        kpt_u = box_l[:, 0] + (kpt_bin + 0.5) / g * w        # [D]
+        border_bin = jnp.argmax(kl[:, 4:6, :], axis=-1).astype(jnp.float32)
+        border_u = box_l[:, 0:1] + (border_bin + 0.5) / g * w[:, None]
         return Detections(
             box_left=box_l, box_right=box_r, score=score,
             cls=jnp.ones((rc.max_detections,), jnp.int32),
             dims=dims, alpha=alpha,
-            kpt_u=u[:, :4], kpt_prob=peak[:, :4], border_u=u[:, 4:6],
+            kpt_u=kpt_u, kpt_type=kpt_type, kpt_prob=peak, border_u=border_u,
             valid=valid & (score > 0),
         )
 
@@ -229,7 +239,9 @@ def init_params(cfg: Config, rng: jax.Array, im_h: int | None = None,
     h = im_h or cfg.data.image_h
     w = im_w or cfg.data.image_w
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-    return model.init(rng, dummy, dummy)
+    # jit the init: eager init dispatches thousands of tiny ops (minutes on
+    # a remote TPU); compiled it is one program.
+    return jax.jit(model.init)(rng, dummy, dummy)
 
 
 def make_inference_fn(cfg: Config, im_h: int | None = None,

@@ -56,21 +56,30 @@ class FrozenBatchNorm(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """Caffe-style bottleneck: stride lives on the first 1x1 conv."""
+    """ResNet bottleneck.
+
+    ``stride_in_1x1=True`` is the caffe variant the reference uses (stride
+    on the first 1x1 conv); ``False`` is torchvision's v1 (stride on the
+    3x3) — supported so torchvision-lineage checkpoints convert exactly.
+    """
 
     features: int           # bottleneck width; output is 4x this
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    stride_in_1x1: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_features = self.features * 4
         residual = x
-        y = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
+        s1 = self.stride if self.stride_in_1x1 else 1
+        s3 = 1 if self.stride_in_1x1 else self.stride
+        y = nn.Conv(self.features, (1, 1), strides=(s1, s1),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = FrozenBatchNorm(self.features, self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+        y = nn.Conv(self.features, (3, 3), strides=(s3, s3),
+                    padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = FrozenBatchNorm(self.features, self.dtype, name="bn2")(y)
         y = nn.relu(y)
@@ -97,6 +106,7 @@ class ResNetFPN(nn.Module):
     fpn_dim: int = 256
     frozen_stages: int = 1      # cfg.RESNET.FIXED_BLOCKS
     dtype: Any = jnp.bfloat16
+    stride_in_1x1: bool = True  # caffe variant (the reference's lineage)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -118,6 +128,7 @@ class ResNetFPN(nn.Module):
             stride = 1 if stage_idx == 0 else 2
             for b in range(n_blocks):
                 x = Bottleneck(width, stride if b == 0 else 1, self.dtype,
+                               stride_in_1x1=self.stride_in_1x1,
                                name=f"layer{stage_idx + 1}_{b}")(x)
             if stage_idx + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)

@@ -1,4 +1,4 @@
-"""RoIAlign for FPN feature pyramids — pure-XLA gather formulation.
+"""RoIAlign for FPN feature pyramids — pure-XLA, TPU-tuned.
 
 Behavioral reference: ``lib/model/csrc/cuda/ROIAlign_cuda.cu`` (+ CPU twin,
 wrapped by ``lib/model/roi_layers/roi_align.py``) from the
@@ -6,123 +6,145 @@ maskrcnn-benchmark lineage: bilinear sampling on a ``sampling_ratio`` x
 ``sampling_ratio`` sub-grid per output bin, averaged.  Semantics matched:
 
   * continuous coordinates, NO half-pixel "aligned" shift (the reference
-    kernel uses ``aligned=False``: roi coords scaled by spatial_scale, bin
-    grid sampled at ``start + (i + 0.5) * bin / ratio``),
+    kernel uses ``aligned=False``),
   * empty rois clamp to >= 1px bins,
-  * out-of-bounds samples contribute zeros.
+  * fully out-of-image rois produce zeros.
 
-TPU design notes: instead of a scalar CUDA thread per output element, we
-compute all sample coordinates as dense [R, P, P, S, S] index tensors and use
-vectorized gathers from the NHWC feature map; the 4-tap bilinear blend is
-plain VPU arithmetic and XLA fuses it with the final mean.  Gradients come
-for free via autodiff of the gather (scatter-add in the backward pass).
-FPN level routing is done by computing the align on every level and
-mask-selecting (no data-dependent control flow) — see
-:func:`multilevel_roi_align`.  A Pallas kernel variant lives in
-``roi_align_pallas.py``; both are A/B-tested for parity.
+TPU design notes: the first implementation computed the align against EVERY
+pyramid level and mask-selected (4x redundant work) with f32 gathers — the
+profiler showed it dominating end-to-end inference.  This version packs the
+pyramid into one flat per-image ATLAS ``[B, sum(H_l*W_l), C]`` and computes
+per-sample FLAT indices (level offset + y*W_l + x), so each bilinear tap is
+ONE row-gather of a C-vector in the feature dtype (bf16): 4x less gather
+traffic, half the bytes, no level redundancy.  Gradients flow through the
+gather (scatter-add in the backward pass).
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 
-def _bilinear_gather(feat: jnp.ndarray, y: jnp.ndarray,
-                     x: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of NHWC-less feature map ``feat`` [H, W, C] at float
-    coords y, x of any shape [...].  Returns [..., C].  Out-of-range samples
-    (beyond 1px outside, matching the CUDA kernel) return zeros."""
-    h, w = feat.shape[0], feat.shape[1]
-    oob = (y < -1.0) | (y > h) | (x < -1.0) | (x > w)
-    y = jnp.clip(y, 0.0, h - 1.0)
-    x = jnp.clip(x, 0.0, w - 1.0)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    ly = (y - y0.astype(y.dtype))[..., None]
-    lx = (x - x0.astype(x.dtype))[..., None]
-    hy, hx = 1.0 - ly, 1.0 - lx
-
-    def tap(yy, xx):
-        return feat[yy, xx]                     # advanced-index gather
-
-    val = (tap(y0, x0) * hy * hx + tap(y0, x1) * hy * lx +
-           tap(y1, x0) * ly * hx + tap(y1, x1) * ly * lx)
-    return jnp.where(oob[..., None], 0.0, val)
-
-
-def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, output_size: int,
-              spatial_scale: float, sampling_ratio: int = 2) -> jnp.ndarray:
-    """RoIAlign on a single feature map.
-
-    Args:
-      feat: [H, W, C] feature map (single image, NHWC without batch).
-      rois: [R, 4] boxes in IMAGE coordinates (xyxy).
-      output_size: P — output is P x P bins.
-      spatial_scale: 1 / stride of this level.
-      sampling_ratio: S — samples per bin side.
-
-    Returns: [R, P, P, C].
-    """
-    p, s = output_size, sampling_ratio
-    scaled = rois * spatial_scale
-    x1, y1, x2, y2 = (scaled[:, i] for i in range(4))
-    roi_w = jnp.maximum(x2 - x1, 1.0)
-    roi_h = jnp.maximum(y2 - y1, 1.0)
-    bin_w = roi_w / p                                        # [R]
-    bin_h = roi_h / p
-
-    # Sample offsets within a roi: grid of (P*S) points per axis.
-    # Position of sample j (0..P*S-1): (j + 0.5) / S * bin  (bin-major).
-    grid = (jnp.arange(p * s, dtype=feat.dtype) + 0.5) / s   # [P*S] in bins
-    ys = y1[:, None] + grid[None, :] * bin_h[:, None]        # [R, P*S]
-    xs = x1[:, None] + grid[None, :] * bin_w[:, None]        # [R, P*S]
-
-    yy = ys[:, :, None] * jnp.ones((1, 1, p * s), feat.dtype)
-    xx = xs[:, None, :] * jnp.ones((1, p * s, 1), feat.dtype)
-    samples = _bilinear_gather(feat, yy, xx)                 # [R, PS, PS, C]
-
-    r = rois.shape[0]
-    c = feat.shape[-1]
-    samples = samples.reshape(r, p, s, p, s, c)
-    return samples.mean(axis=(2, 4))                         # [R, P, P, C]
-
-
 def fpn_level_assignment(rois: jnp.ndarray, num_levels: int,
                          canonical_scale: float = 224.0,
-                         canonical_level: int = 2) -> jnp.ndarray:
-    """Per-roi FPN level k = floor(k0 + log2(sqrt(wh) / 224)), clamped to
-    [0, num_levels-1] as an offset from P2.  Reference:
-    ``stereo_rcnn.py`` level routing (SURVEY.md §2.2 Stereo R-CNN head)."""
-    w = jnp.maximum(rois[:, 2] - rois[:, 0], 1e-6)
-    h = jnp.maximum(rois[:, 3] - rois[:, 1], 1e-6)
+                         canonical_level: int = 4,
+                         min_level: int = 2) -> jnp.ndarray:
+    """Per-roi FPN level k = floor(k0 + log2(sqrt(wh) / 224)) with k0 = 4
+    (a 224^2 roi maps to P4 — FPN paper convention, which the reference
+    follows), returned as an offset from P``min_level`` clamped to
+    [0, num_levels-1].  Reference: ``stereo_rcnn.py`` level routing
+    (SURVEY.md §2.2 Stereo R-CNN head)."""
+    w = jnp.maximum(rois[..., 2] - rois[..., 0], 1e-6)
+    h = jnp.maximum(rois[..., 3] - rois[..., 1], 1e-6)
     k = jnp.floor(canonical_level +
                   jnp.log2(jnp.sqrt(w * h) / canonical_scale))
-    return jnp.clip(k - canonical_level, 0, num_levels - 1).astype(jnp.int32)
+    return jnp.clip(k - min_level, 0, num_levels - 1).astype(jnp.int32)
 
 
 def multilevel_roi_align(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                          strides: Sequence[int], output_size: int,
                          sampling_ratio: int = 2) -> jnp.ndarray:
-    """RoIAlign over an FPN pyramid with mask-based level routing.
+    """RoIAlign over an FPN pyramid with per-roi level routing.
 
-    Each roi is aligned against EVERY level and the right level is selected
-    with a `where` — data-independent control flow that XLA can schedule as
-    dense batched gathers (the per-level compute is small: R * P^2 * S^2
-    taps).  feats: list of [H_l, W_l, C]; rois in image coords.
+    Args:
+      feats: list of [B, H_l, W_l, C] (or [H_l, W_l, C] for a single image)
+        pyramid levels, finest first.
+      rois: [B, R, 4] (or [R, 4]) boxes in IMAGE coordinates (xyxy).
+      strides: image-to-level scale factor per level.
+      output_size: P — output is P x P bins.
+      sampling_ratio: S — S x S samples per bin, averaged.
 
-    Returns: [R, P, P, C].
+    Returns: [B, R, P, P, C] (or [R, P, P, C]).
     """
-    levels = fpn_level_assignment(rois, len(feats))
-    out = None
-    for lvl, (feat, stride) in enumerate(zip(feats, strides)):
-        aligned = roi_align(feat, rois, output_size, 1.0 / stride,
-                            sampling_ratio)
-        sel = (levels == lvl)[:, None, None, None]
-        out = jnp.where(sel, aligned, 0.0) if out is None else \
-            out + jnp.where(sel, aligned, 0.0)
-    return out
+    squeeze = rois.ndim == 2
+    if squeeze:
+        feats = [f[None] for f in feats]
+        rois = rois[None]
+    b, r = rois.shape[:2]
+    c = feats[0].shape[-1]
+    p, s = output_size, sampling_ratio
+    ps = p * s
+    dtype = feats[0].dtype
+
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    sizes = [h * w for h, w in shapes]
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    atlas = jnp.concatenate([f.reshape(b, -1, c) for f in feats], axis=1)
+
+    levels = fpn_level_assignment(rois, len(feats))          # [B, R]
+    lvl_h = jnp.asarray([h for h, _ in shapes], jnp.float32)[levels]
+    lvl_w = jnp.asarray([w for _, w in shapes], jnp.float32)[levels]
+    lvl_off = jnp.asarray(offsets, jnp.int32)[levels]        # [B, R]
+    lvl_scale = 1.0 / jnp.asarray(strides, jnp.float32)[levels]
+
+    scaled = rois * lvl_scale[..., None]                     # [B, R, 4]
+    x1, y1 = scaled[..., 0], scaled[..., 1]
+    roi_w = jnp.maximum(scaled[..., 2] - x1, 1.0)
+    roi_h = jnp.maximum(scaled[..., 3] - y1, 1.0)
+
+    grid = (jnp.arange(ps, dtype=jnp.float32) + 0.5) / s     # bin units
+    ys = y1[..., None] + grid * (roi_h / p)[..., None]       # [B, R, PS]
+    xs = x1[..., None] + grid * (roi_w / p)[..., None]
+
+    # Out-of-bounds handling (matches the CUDA kernel: samples beyond 1px
+    # outside contribute zero; inside-edge samples clamp).
+    oob_y = (ys < -1.0) | (ys > lvl_h[..., None])
+    oob_x = (xs < -1.0) | (xs > lvl_w[..., None])
+    ys = jnp.clip(ys, 0.0, lvl_h[..., None] - 1.0)
+    xs = jnp.clip(xs, 0.0, lvl_w[..., None] - 1.0)
+
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    y1i = jnp.minimum(y0 + 1, lvl_h[..., None] - 1.0)
+    x1i = jnp.minimum(x0 + 1, lvl_w[..., None] - 1.0)
+    ly = (ys - y0).astype(dtype)                             # [B, R, PS]
+    lx = (xs - x0).astype(dtype)
+    hy = (1.0 - ly).astype(dtype)
+    hx = (1.0 - lx).astype(dtype)
+
+    lw_i = lvl_w.astype(jnp.int32)[..., None]                # [B, R, 1]
+    off = lvl_off[..., None]
+
+    def flat_idx(yi, xi):
+        # [B, R, PS](y) x [B, R, PS](x) -> [B, R, PS, PS] flat atlas index.
+        return (off[..., None] + yi.astype(jnp.int32)[..., :, None] *
+                lw_i[..., None] + xi.astype(jnp.int32)[..., None, :])
+
+    def gather(idx):
+        # atlas [B, A, C], idx [B, R, PS, PS] -> [B, R, PS, PS, C].
+        flat = idx.reshape(b, -1)
+        out = jnp.take_along_axis(atlas, flat[..., None], axis=1)
+        return out.reshape(b, r, ps, ps, c)
+
+    v00 = gather(flat_idx(y0, x0))
+    v01 = gather(flat_idx(y0, x1i))
+    v10 = gather(flat_idx(y1i, x0))
+    v11 = gather(flat_idx(y1i, x1i))
+
+    wy = hy[..., :, None]
+    wly = ly[..., :, None]
+    wx = hx[..., None, :]
+    wlx = lx[..., None, :]
+    val = (v00 * (wy * wx)[..., None] + v01 * (wy * wlx)[..., None] +
+           v10 * (wly * wx)[..., None] + v11 * (wly * wlx)[..., None])
+
+    zero = (oob_y[..., :, None] | oob_x[..., None, :])[..., None]
+    val = jnp.where(zero, jnp.zeros((), dtype), val)
+
+    val = val.reshape(b, r, p, s, p, s, c)
+    out = val.mean(axis=(3, 5))
+    return out[0] if squeeze else out
+
+
+def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, output_size: int,
+              spatial_scale: float, sampling_ratio: int = 2) -> jnp.ndarray:
+    """Single-level RoIAlign (feat [H, W, C], rois [R, 4] in image coords
+    scaled by ``spatial_scale``).  Thin wrapper over the atlas kernel."""
+    stride = int(round(1.0 / spatial_scale))
+    # Force all rois onto this single level.
+    return multilevel_roi_align([feat], rois, [stride], output_size,
+                                sampling_ratio)

@@ -1,0 +1,4 @@
+from stereo_rcnn_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS,
+                                           batch_sharding, jit_train_step,
+                                           make_mesh, replicate, replicated,
+                                           shard_batch)

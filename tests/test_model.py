@@ -42,7 +42,8 @@ def test_full_inference_shapes(tiny_setup):
     assert det.box_left.shape == (1, d, 4)
     assert det.box_right.shape == (1, d, 4)
     assert det.dims.shape == (1, d, 3)
-    assert det.kpt_u.shape == (1, d, 4)
+    assert det.kpt_u.shape == (1, d)
+    assert det.kpt_type.shape == (1, d)
     assert det.valid.shape == (1, d)
     assert np.isfinite(np.asarray(det.score)).all()
     # Right boxes share vertical extent with left boxes (stereo invariant).

@@ -1,0 +1,81 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_rcnn_tpu.config import tiny_test_config
+from stereo_rcnn_tpu.data.synthetic import synthetic_batch
+from stereo_rcnn_tpu.train import (Batch, init_train_state, make_train_step,
+                                   param_label)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    cfg = tiny_test_config().replace(compute_dtype="float32")
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, depth=50))
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def state_and_batch(tiny_cfg):
+    state = init_train_state(tiny_cfg, jax.random.PRNGKey(0),
+                             steps_per_epoch=10)
+    il, ir, gt, _ = synthetic_batch(tiny_cfg, batch=2, seed=0, n_objects=2)
+    batch = Batch(images_left=jnp.asarray(il), images_right=jnp.asarray(ir),
+                  gt=jax.tree.map(jnp.asarray, gt))
+    return state, batch
+
+
+def test_param_labels(tiny_cfg):
+    state = init_train_state(tiny_cfg, jax.random.PRNGKey(0))
+    labels = jax.tree_util.tree_map_with_path(param_label, state.params)
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    as_dict = {"/".join(str(getattr(k, "key", k)) for k in p): v
+               for p, v in flat}
+    # Spot checks.
+    assert as_dict["uncert"] == "uncert"
+    bb = "model/backbone_net"
+    assert as_dict[f"{bb}/conv1/kernel"] == "frozen"          # stem
+    assert as_dict[f"{bb}/bn1/scale"] == "frozen"
+    assert as_dict[f"{bb}/layer1_0/conv1/kernel"] == "frozen"
+    assert as_dict[f"{bb}/layer2_0/conv1/kernel"] == "decay"  # trains
+    assert as_dict[f"{bb}/layer2_0/bn1/scale"] == "frozen"
+    assert as_dict["model/rcnn_head/fc6/kernel"] == "decay"
+    assert as_dict["model/rcnn_head/fc6/bias"] == "plain"
+
+
+def test_train_step_runs_and_updates(tiny_cfg, state_and_batch):
+    state, batch = state_and_batch
+    step_fn = jax.jit(make_train_step(tiny_cfg, steps_per_epoch=10))
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+    assert int(new_state.step) == 1
+    for k in ("rpn_cls", "rpn_box", "rcnn_cls", "rcnn_box", "dim_orien",
+              "kpt", "total", "grad_norm"):
+        assert np.isfinite(float(metrics[k])), k
+
+    p0 = state.params["model"]["rcnn_head"]["fc6"]["kernel"]
+    p1 = new_state.params["model"]["rcnn_head"]["fc6"]["kernel"]
+    assert float(jnp.abs(p1 - p0).max()) > 0          # trainable moved
+    f0 = state.params["model"]["backbone_net"]["conv1"]["kernel"]
+    f1 = new_state.params["model"]["backbone_net"]["conv1"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))  # frozen
+    u0 = state.params["uncert"]
+    u1 = new_state.params["uncert"]
+    assert float(jnp.abs(u1 - u0).max()) > 0          # uncertainty learns
+
+
+def test_loss_decreases_on_repeated_batch(tiny_cfg, state_and_batch):
+    state, batch = state_and_batch
+    step_fn = jax.jit(make_train_step(tiny_cfg, steps_per_epoch=100))
+    rng = jax.random.PRNGKey(4)
+    first = None
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, sub)
+        if first is None:
+            first = float(metrics["total"])
+    # Overfitting a fixed tiny batch must reduce the combined loss.
+    assert float(metrics["total"]) < first

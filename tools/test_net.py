@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Evaluation CLI: run inference over a KITTI split, write KITTI-format
+result files, and compute AP_3d / AP_bev with the vendored evaluator.
+
+Behavioral reference: ``test_net.py`` (SURVEY.md §3.3) — but AP is computed
+in-process (the reference defers to the external C++ devkit).
+
+Usage:
+  python tools/test_net.py --kitti-root data/kitti/object \
+      --ckpt-dir runs/exp0 --out results/
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--kitti-root", required=True)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--out", default="results")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--image-ext", default=".png")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from stereo_rcnn_tpu.config import Config, tiny_test_config
+    from stereo_rcnn_tpu.data import KittiDataset, KittiPipeline
+    from stereo_rcnn_tpu.data.kitti import parse_label_file
+    from stereo_rcnn_tpu.evalkit import (FrameObjects, evaluate,
+                                         write_result_file)
+    from stereo_rcnn_tpu.geometry import ry_from_alpha
+    from stereo_rcnn_tpu.geometry.calib import read_kitti_calib
+    from stereo_rcnn_tpu.inference import make_full_pipeline
+    from stereo_rcnn_tpu.models import init_params
+    from stereo_rcnn_tpu.train import init_train_state
+    from stereo_rcnn_tpu.train.checkpoint import restore_checkpoint
+
+    cfg = tiny_test_config() if args.tiny else Config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, kitti_root=args.kitti_root))
+    ds = KittiDataset(cfg.data)
+    if len(ds) == 0:
+        sys.exit(f"no data under {args.kitti_root}")
+    print(f"{len(ds)} frames")
+
+    # Calibration at working resolution (per-frame scale applied below; we
+    # use the first frame's calib scaled by the common resize factor).
+    _, calib0 = ds.load_annotation(0, 1242.0)
+
+    params = None
+    if args.ckpt_dir:
+        state = init_train_state(cfg, jax.random.PRNGKey(0))
+        state = restore_checkpoint(args.ckpt_dir, state)
+        params = {"params": state.params["model"]}
+        print(f"loaded checkpoint step {int(state.step)}")
+    else:
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        print("WARNING: random weights (no --ckpt-dir)")
+
+    pipe = KittiPipeline(cfg, ds, args.batch, shuffle=False,
+                         image_ext=args.image_ext)
+    sample_scale = min(cfg.data.image_h / 375.0, cfg.data.image_w / 1242.0)
+    pipeline = jax.jit(make_full_pipeline(cfg, calib0.scale(sample_scale)))
+
+    os.makedirs(args.out, exist_ok=True)
+    gts, dets = [], []
+    frame = 0
+    t0 = time.time()
+    for il, ir, gt, scales in pipe:
+        out = jax.block_until_ready(
+            pipeline(params, jnp.asarray(il), jnp.asarray(ir)))
+        det = jax.device_get(out.det)
+        pos = np.asarray(out.position)
+        ry = np.asarray(out.ry)
+        for b in range(il.shape[0]):
+            fid = ds.ids[frame]
+            scale = float(scales[b])
+            valid = np.asarray(det.valid[b])
+            n = int(valid.sum())
+            sel = np.nonzero(valid)[0]
+            boxes2d = np.asarray(det.box_left[b])[sel] / scale
+            dims = np.asarray(det.dims[b])[sel]
+            locs = pos[b][sel]
+            rys = ry[b][sel]
+            alphas = np.asarray(det.alpha[b])[sel]
+            scores = np.asarray(det.score[b])[sel]
+            write_result_file(
+                os.path.join(args.out, f"{fid}.txt"), ["Car"] * n,
+                boxes2d, dims, locs, rys, alphas, scores)
+            dets.append(FrameObjects(
+                box2d=boxes2d,
+                box3d=np.concatenate([locs, dims, rys[:, None]], -1),
+                score=scores, occlusion=np.zeros(n, int),
+                truncation=np.zeros(n)))
+            objs = parse_label_file(ds.paths(frame)["label"])
+            cars = [o for o in objs if o.type == "Car"]
+            gts.append(FrameObjects(
+                box2d=np.stack([o.box for o in cars]).reshape(-1, 4)
+                if cars else np.zeros((0, 4)),
+                box3d=np.asarray([[*o.location, *o.dims, o.ry]
+                                  for o in cars]).reshape(-1, 7),
+                score=np.ones(len(cars)),
+                occlusion=np.asarray([o.occlusion for o in cars], int),
+                truncation=np.asarray([o.truncation for o in cars])))
+            frame += 1
+    dt = time.time() - t0
+    print(f"{frame} frames in {dt:.1f}s ({frame / dt:.2f} pairs/s)")
+
+    for metric, thresh in (("3d", 0.7), ("3d", 0.5), ("bev", 0.7),
+                           ("bev", 0.5)):
+        res = evaluate(gts, dets, metric=metric, iou_thresh=thresh)
+        print(f"AP_{metric}@{thresh}: " + " / ".join(
+            f"{d}={res[d]:.2f}" for d in ("easy", "moderate", "hard")))
+
+
+if __name__ == "__main__":
+    main()

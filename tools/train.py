@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Behavioral reference: ``trainval_net.py`` (SURVEY.md §3.2) — KITTI roidb,
+SGD + momentum with stepped LR decay, learned uncertainty weighting,
+per-epoch checkpoints, resume.  TPU-native: data-parallel over all local
+chips via a Mesh; the whole step (target assignment included) is one jit.
+
+Usage:
+  python tools/train.py --kitti-root data/kitti/object --epochs 12 \
+      --batch-per-device 1 --ckpt-dir runs/exp0 [--resume] [--synthetic N]
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--kitti-root", default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic scenes instead of KITTI")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-per-device", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--ckpt-dir", default="runs/default")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--config", default=None, help="YAML config overlay")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny config (CI/smoke)")
+    p.add_argument("--disp-interval", type=int, default=20)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from stereo_rcnn_tpu.config import load_config, tiny_test_config
+    from stereo_rcnn_tpu.data import KittiDataset, KittiPipeline
+    from stereo_rcnn_tpu.data.synthetic import synthetic_batch
+    from stereo_rcnn_tpu.parallel import (jit_train_step, make_mesh,
+                                          replicate, shard_batch)
+    from stereo_rcnn_tpu.train import Batch, init_train_state, make_train_step
+    from stereo_rcnn_tpu.train.checkpoint import (latest_step,
+                                                  restore_checkpoint,
+                                                  save_checkpoint)
+    from stereo_rcnn_tpu.utils.metrics import MetricsLogger, StepTimer
+
+    cfg = tiny_test_config() if args.tiny else load_config(args.config)
+    overrides = {}
+    if args.epochs is not None:
+        overrides["epochs"] = args.epochs
+    if args.batch_per_device is not None:
+        overrides["batch_per_device"] = args.batch_per_device
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    if overrides:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, **overrides))
+    if args.kitti_root:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data,
+                                          kitti_root=args.kitti_root))
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    global_batch = cfg.train.batch_per_device * n_dev
+    print(f"devices: {n_dev}, global batch: {global_batch}")
+
+    if args.synthetic:
+        steps_per_epoch = max(args.synthetic // global_batch, 1)
+
+        def batches():
+            for s in range(steps_per_epoch):
+                il, ir, gt, _ = synthetic_batch(cfg, global_batch, seed=s)
+                yield il, ir, gt, None
+    else:
+        ds = KittiDataset(cfg.data)
+        if len(ds) == 0:
+            sys.exit(f"no KITTI data under {cfg.data.kitti_root}; "
+                     f"use --synthetic N for smoke training")
+        pipe = KittiPipeline(cfg, ds, global_batch)
+        steps_per_epoch = pipe.steps_per_epoch()
+
+        def batches():
+            yield from pipe
+
+    state = init_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
+                             steps_per_epoch)
+    if args.resume and latest_step(args.ckpt_dir) is not None:
+        state = restore_checkpoint(args.ckpt_dir, state)
+        print(f"resumed from step {int(state.step)}")
+
+    step_fn = jit_train_step(make_train_step(cfg, steps_per_epoch), mesh)
+    logger = MetricsLogger(os.path.join(args.ckpt_dir, "metrics.csv"),
+                           print_every=args.disp_interval)
+    timer = StepTimer()
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    with mesh:
+        state = replicate(mesh, state)
+        start_epoch = int(state.step) // steps_per_epoch
+        for epoch in range(start_epoch, cfg.train.epochs):
+            for il, ir, gt, _ in batches():
+                batch = Batch(images_left=jnp.asarray(il),
+                              images_right=jnp.asarray(ir),
+                              gt=jax.tree.map(jnp.asarray, gt))
+                batch = shard_batch(mesh, batch)
+                rng, sub = jax.random.split(rng)
+                state, metrics = step_fn(state, batch, sub)
+                timer.tick()
+                step = int(state.step)
+                logger.log(step, {**{k: float(v)
+                                     for k, v in metrics.items()},
+                                  "pairs_per_sec":
+                                      timer.throughput(global_batch)})
+            save_checkpoint(args.ckpt_dir, jax.device_get(state))
+            print(f"epoch {epoch + 1}/{cfg.train.epochs} done, "
+                  f"checkpoint saved to {args.ckpt_dir}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
