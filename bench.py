@@ -34,7 +34,13 @@ def main():
     from stereo_rcnn_tpu.inference import make_full_pipeline
     from stereo_rcnn_tpu.models import init_params
 
+    import dataclasses
     cfg = Config()
+    # Perf-tuned production config (configs/res101_pallas.yml): the Pallas
+    # window-DMA RoIAlign kernel — A/B parity-tested vs the XLA atlas path,
+    # +48% end-to-end (43.7 -> 64.7 pairs/s).
+    cfg = dataclasses.replace(
+        cfg, rcnn=dataclasses.replace(cfg.rcnn, roi_align_impl="pallas"))
     h, w = cfg.data.image_h, cfg.data.image_w
     batch = 8
     calib = default_kitti_calib()

@@ -72,6 +72,11 @@ class RCNNConfig:
 
     pooling_size: int = 7                # cfg.POOLING_SIZE
     sampling_ratio: int = 2              # RoIAlign sampling_ratio
+    # RoIAlign implementation: "xla" (atlas gather — exact everywhere) or
+    # "pallas" (window-DMA + MXU kernel — ~1.3x faster; clamps sampling for
+    # rois wider than its per-level window, which only affects extreme
+    # aspect-ratio boxes).
+    roi_align_impl: str = "xla"
     fc_dim: int = 2048                   # FC trunk width after pooled concat
     num_classes: int = 2                 # ('__background__', 'Car')
 
@@ -108,6 +113,9 @@ class BackboneConfig:
     """
 
     depth: int = 101                     # (3, 4, 23, 3) bottleneck blocks
+    norm: str = "frozen"                 # "frozen" (pretrained BN constants,
+                                         # the reference setup) | "group"
+                                         # (GroupNorm, from-scratch training)
     fpn_dim: int = 256                   # FPN output channels P2..P6
     frozen_stages: int = 1               # cfg.RESNET.FIXED_BLOCKS
     # Caffe BGR channel means (cfg.PIXEL_MEANS).
@@ -224,6 +232,7 @@ def tiny_test_config() -> Config:
     budgets, tiny static top-Ns.  Keeps every code path identical."""
     cfg = Config()
     cfg = _update_dataclass(cfg, {
+        "backbone": {"depth": 26, "norm": "group"},
         "data": {"image_h": 128, "image_w": 256},
         "rpn": {
             "train_pre_nms_top_n": 128, "train_post_nms_top_n": 64,

@@ -35,6 +35,7 @@ from stereo_rcnn_tpu.models.stereo_rpn import (Proposals, StereoRPNHead,
                                                select_proposals)
 from stereo_rcnn_tpu.ops.nms import nms_indices
 from stereo_rcnn_tpu.ops.roi_align import multilevel_roi_align
+from stereo_rcnn_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
 
 
 class StereoRCNN(nn.Module):
@@ -53,7 +54,8 @@ class StereoRCNN(nn.Module):
         dtype = jnp.dtype(c.compute_dtype)
         self.backbone_net = ResNetFPN(
             depth=c.backbone.depth, fpn_dim=c.backbone.fpn_dim,
-            frozen_stages=c.backbone.frozen_stages, dtype=dtype)
+            frozen_stages=c.backbone.frozen_stages, dtype=dtype,
+            norm=c.backbone.norm)
         self.rpn_head = StereoRPNHead(
             num_anchors=c.anchors.num_anchors_per_cell,
             conv_dim=c.rpn.conv_dim, dtype=dtype)
@@ -133,9 +135,12 @@ def roi_features(model: StereoRCNN, feats_l, feats_r, rois_left, rois_right):
     pk = cfg.rcnn.kpt_pool_size
     sr = cfg.rcnn.sampling_ratio
 
+    impl = multilevel_roi_align_pallas if cfg.rcnn.roi_align_impl == \
+        "pallas" else multilevel_roi_align
+
     def align(feats, rois, size, sampling):
-        return multilevel_roi_align(list(feats[:4]), rois, strides, size,
-                                    sampling)         # [B, N, s, s, C]
+        return impl(list(feats[:4]), rois, strides, size,
+                    sampling)                         # [B, N, s, s, C]
 
     pl_ = align(feats_l, rois_left, p, sr)
     pr_ = align(feats_r, rois_right, p, sr)

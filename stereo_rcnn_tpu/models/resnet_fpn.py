@@ -30,7 +30,25 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+STAGE_BLOCKS = {26: (2, 2, 2, 2), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                152: (3, 8, 36, 3)}
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) — the norm option for training WITHOUT pretrained BN
+    constants.  Identity-initialised FrozenBatchNorm makes a 100-layer
+    network's activations explode (observed: softmax saturation at init);
+    GroupNorm is batch-size-independent (detectors train at batch 1-2/chip)
+    and needs no statistics transfer."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        groups = min(32, self.features)
+        return nn.GroupNorm(num_groups=groups, dtype=self.dtype,
+                            name="gn")(x)
 
 
 class FrozenBatchNorm(nn.Module):
@@ -67,32 +85,34 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.bfloat16
     stride_in_1x1: bool = True
+    norm: str = "frozen"    # "frozen" (pretrained constants) | "group"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        norm_cls = FrozenBatchNorm if self.norm == "frozen" else GroupNorm32
         out_features = self.features * 4
         residual = x
         s1 = self.stride if self.stride_in_1x1 else 1
         s3 = 1 if self.stride_in_1x1 else self.stride
         y = nn.Conv(self.features, (1, 1), strides=(s1, s1),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = FrozenBatchNorm(self.features, self.dtype, name="bn1")(y)
+        y = norm_cls(self.features, self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(s3, s3),
                     padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = FrozenBatchNorm(self.features, self.dtype, name="bn2")(y)
+        y = norm_cls(self.features, self.dtype, name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
-        y = FrozenBatchNorm(out_features, self.dtype, name="bn3")(y)
+        y = norm_cls(out_features, self.dtype, name="bn3")(y)
         if residual.shape[-1] != out_features or self.stride != 1:
             residual = nn.Conv(out_features, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
-            residual = FrozenBatchNorm(out_features, self.dtype,
-                                       name="downsample_bn")(residual)
+            residual = norm_cls(out_features, self.dtype,
+                                name="downsample_bn")(residual)
         return nn.relu(y + residual)
 
 
@@ -107,6 +127,8 @@ class ResNetFPN(nn.Module):
     frozen_stages: int = 1      # cfg.RESNET.FIXED_BLOCKS
     dtype: Any = jnp.bfloat16
     stride_in_1x1: bool = True  # caffe variant (the reference's lineage)
+    norm: str = "frozen"        # "frozen" for converted weights, "group"
+                                # for from-scratch training
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -116,10 +138,11 @@ class ResNetFPN(nn.Module):
         # Stem: conv1 7x7/2 + maxpool 3x3/2.
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
+        norm_cls = FrozenBatchNorm if self.norm == "frozen" else GroupNorm32
+        x = norm_cls(64, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        if self.frozen_stages >= 0:
+        if self.norm == "frozen" and self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
 
         stages = []
@@ -129,8 +152,9 @@ class ResNetFPN(nn.Module):
             for b in range(n_blocks):
                 x = Bottleneck(width, stride if b == 0 else 1, self.dtype,
                                stride_in_1x1=self.stride_in_1x1,
+                               norm=self.norm,
                                name=f"layer{stage_idx + 1}_{b}")(x)
-            if stage_idx + 1 <= self.frozen_stages:
+            if self.norm == "frozen" and stage_idx + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
             stages.append(x)
         c2, c3, c4, c5 = stages

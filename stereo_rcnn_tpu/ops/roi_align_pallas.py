@@ -1,0 +1,198 @@
+"""Pallas TPU kernel for multilevel RoIAlign — window-DMA + MXU sampling.
+
+Behavioral reference: same semantics as ``ops.roi_align`` (which matches
+``lib/model/csrc/cuda/ROIAlign_cuda.cu``); A/B parity-tested against it.
+
+Kernel design (one grid step per roi):
+  1. Scalar-prefetched per-roi metadata (level id, window origin, roi
+     geometry in window coordinates) lets the kernel start its DMA before
+     the body runs (PrefetchScalarGridSpec).
+  2. A fixed-size feature WINDOW around the roi is DMA'd HBM -> VMEM from
+     the roi's pyramid level (per-level window sizes are static: coarse
+     levels are small enough to window entirely).
+  3. Bilinear sampling is two small MATMULS with linear-interpolation "hat"
+     weight matrices built in-kernel from iota — the same gather-free trick
+     as ``solve.dense_align`` — so the inner loop runs on the MXU instead
+     of issuing thousands of scalar gathers.
+  4. Bin-averaging is a reshape + mean on the VPU; one [P, P, C] tile is
+     written per roi.
+
+The public wrapper handles FPN level assignment and falls back to the XLA
+atlas implementation on non-TPU backends (Pallas interpret mode is used in
+tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stereo_rcnn_tpu.ops.roi_align import fpn_level_assignment
+
+# Max window (rows, cols) in level cells; clamped per level to the level's
+# own extent.  96 cols covers the widest realistic KITTI box at its
+# assigned level (see level-assignment bound discussion in ops/roi_align).
+_WIN_H, _WIN_W = 48, 96
+
+
+def _window_shapes(level_shapes):
+    return [(min(h, _WIN_H), min(w, _WIN_W)) for h, w in level_shapes]
+
+
+def _kernel(meta_ref, geom_ref, *refs, num_levels: int, p: int, s: int,
+            win_shapes, c: int, out_dtype):
+    """One roi per grid step.
+
+    meta_ref (SMEM int32 [N, 4]): level, y0, x0, valid.
+    geom_ref (SMEM f32 [N, 4]): y1, x1 (roi origin in window coords),
+      bin_h, bin_w (level cells).
+    refs: num_levels feature refs (HBM) + out_ref + scratch VMEM windows
+      (one per level shape) + one DMA semaphore.
+    """
+    feat_refs = refs[:num_levels]
+    out_ref = refs[num_levels]
+    scratch = refs[num_levels + 1:num_levels + 1 + num_levels]
+    sem = refs[-1]
+
+    i = pl.program_id(0)
+    level = meta_ref[i, 0]
+    y0 = meta_ref[i, 1]
+    # The wrapper 8-aligns x0 (W is the sublane-tiled axis); the compiler
+    # needs the divisibility hint to slice HBM at a dynamic offset.
+    x0 = pl.multiple_of(meta_ref[i, 2], 8)
+    valid = meta_ref[i, 3]
+
+    ps = p * s
+
+    def sample_from(window, wh, ww):
+        """window: [wh, ww, C] VMEM array -> [P, P, C] pooled output."""
+        y1 = geom_ref[i, 0]
+        x1 = geom_ref[i, 1]
+        bin_h = geom_ref[i, 2]
+        bin_w = geom_ref[i, 3]
+        grid = (jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)[:, 0]
+                .astype(jnp.float32) + 0.5) / s
+        ys = y1 + grid * bin_h                       # [PS] window coords
+        xs = x1 + grid * bin_w
+        ys = jnp.clip(ys, 0.0, wh - 1.0)
+        xs = jnp.clip(xs, 0.0, ww - 1.0)
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (ps, wh),
+                                          1).astype(jnp.float32)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (ps, ww),
+                                          1).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(iota_h - ys[:, None]))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w - xs[:, None]))
+        # rows: [PS, wh] @ [wh, ww*C] -> [PS, ww, C]
+        tmp = jnp.dot(wy, window.reshape(wh, ww * c),
+                      preferred_element_type=jnp.float32).reshape(ps, ww, c)
+        # cols: contract ww between [PS, ww] and [PS, ww, C].
+        out = jax.lax.dot_general(
+            wx, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [PSx, PSy, C]
+        out = jnp.swapaxes(out, 0, 1)                # [PSy, PSx, C]
+        pooled = out.reshape(p, s, p, s, c).mean(axis=(1, 3))
+        return pooled
+
+    for lvl in range(num_levels):
+        wh, ww = win_shapes[lvl]
+
+        @pl.when(level == lvl)
+        def _():
+            dma = pltpu.make_async_copy(
+                feat_refs[lvl].at[pl.ds(y0, wh), pl.ds(x0, ww), :],
+                scratch[lvl], sem)
+            dma.start()
+            dma.wait()
+            pooled = sample_from(scratch[lvl][:], wh, ww)
+            out_ref[0] = (pooled *
+                          (valid > 0).astype(jnp.float32)).astype(out_dtype)
+
+
+def roi_align_pallas_single(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                            strides: Sequence[int], output_size: int,
+                            sampling_ratio: int = 2,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Multilevel RoIAlign for ONE image via the Pallas kernel.
+
+    feats: list of [H_l, W_l, C]; rois: [R, 4] image coords.
+    Returns [R, P, P, C] float32.
+    """
+    r = rois.shape[0]
+    c = feats[0].shape[-1]
+    p, s = output_size, sampling_ratio
+    num_levels = len(feats)
+    level_shapes = [(f.shape[0], f.shape[1]) for f in feats]
+    win_shapes = _window_shapes(level_shapes)
+
+    levels = fpn_level_assignment(rois, num_levels)          # [R]
+    lvl_scale = 1.0 / jnp.asarray(strides, jnp.float32)[levels]
+    lvl_h = jnp.asarray([h for h, _ in level_shapes], jnp.float32)[levels]
+    lvl_w = jnp.asarray([w for _, w in level_shapes], jnp.float32)[levels]
+    win_h = jnp.asarray([h for h, _ in win_shapes], jnp.float32)[levels]
+    win_w = jnp.asarray([w for _, w in win_shapes], jnp.float32)[levels]
+
+    scaled = rois * lvl_scale[:, None]
+    x1, y1 = scaled[:, 0], scaled[:, 1]
+    roi_w = jnp.maximum(scaled[:, 2] - x1, 1.0)
+    roi_h = jnp.maximum(scaled[:, 3] - y1, 1.0)
+
+    # Window origin: center the window on the roi, clamped inside the level.
+    # The W axis is sublane-tiled (8): its dynamic slice offset must be a
+    # multiple of 8, so align x0 down (window widths are all multiples of 8).
+    y0 = jnp.clip(jnp.floor(y1 + roi_h / 2 - win_h / 2), 0,
+                  jnp.maximum(lvl_h - win_h, 0)).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(x1 + roi_w / 2 - win_w / 2), 0,
+                  jnp.maximum(lvl_w - win_w, 0)).astype(jnp.int32)
+    x0 = (x0 // 8) * 8
+
+    valid = (roi_w > 0) & (roi_h > 0)
+    meta = jnp.stack([levels, y0, x0, valid.astype(jnp.int32)],
+                     axis=-1).astype(jnp.int32)              # [R, 4]
+    geom = jnp.stack([y1 - y0.astype(jnp.float32),
+                      x1 - x0.astype(jnp.float32),
+                      roi_h / p, roi_w / p], axis=-1)        # [R, 4]
+
+    kernel = functools.partial(
+        _kernel, num_levels=num_levels, p=p, s=s, win_shapes=win_shapes,
+        c=c, out_dtype=jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(r,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)
+                  for _ in range(num_levels)],
+        out_specs=pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((wh, ww, c), feats[0].dtype)
+                        for wh, ww in win_shapes] +
+                       [pltpu.SemaphoreType.DMA],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
+        interpret=interpret,
+    )(meta, geom, *feats)
+    return out
+
+
+def multilevel_roi_align_pallas(feats, rois, strides, output_size,
+                                sampling_ratio: int = 2,
+                                interpret: bool = False):
+    """Batched wrapper: feats [B, H, W, C] per level, rois [B, R, 4]."""
+    squeeze = rois.ndim == 2
+    if squeeze:
+        feats = [f[None] for f in feats]
+        rois = rois[None]
+    fn = functools.partial(roi_align_pallas_single, strides=strides,
+                           output_size=output_size,
+                           sampling_ratio=sampling_ratio,
+                           interpret=interpret)
+    out = jax.vmap(lambda fs, r: fn(list(fs), r))(list(feats), rois)
+    return out[0] if squeeze else out

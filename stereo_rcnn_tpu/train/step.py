@@ -58,6 +58,9 @@ def param_label(path, _leaf) -> str:
     segs = p.split("/")
     if segs[0] == "uncert":
         return "uncert"
+    # GroupNorm ("group" backbone) affine params DO train (no decay).
+    if "gn" in segs:
+        return "plain"
     # Frozen: all BN constants, the stem, and layer1 (FIXED_BLOCKS=1).
     if any(s.startswith("bn") or s.endswith("_bn") for s in segs):
         return "frozen"

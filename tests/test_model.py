@@ -20,12 +20,7 @@ def test_backbone_shapes():
 
 @pytest.fixture(scope="module")
 def tiny_setup():
-    cfg = tiny_test_config()
-    cfg = cfg.replace(compute_dtype="float32")
-    # Shrink backbone for CPU test speed.
-    import dataclasses
-    cfg = dataclasses.replace(
-        cfg, backbone=dataclasses.replace(cfg.backbone, depth=50))
+    cfg = tiny_test_config().replace(compute_dtype="float32")
     params = init_params(cfg, jax.random.PRNGKey(0))
     return cfg, params
 

@@ -23,8 +23,6 @@ def test_mesh_has_8_devices():
 
 def test_sharded_train_step_matches_single_device():
     cfg = tiny_test_config().replace(compute_dtype="float32")
-    cfg = dataclasses.replace(
-        cfg, backbone=dataclasses.replace(cfg.backbone, depth=50))
 
     state = init_train_state(cfg, jax.random.PRNGKey(0), steps_per_epoch=10)
     il, ir, gt, _ = synthetic_batch(cfg, batch=8, seed=0, n_objects=2)

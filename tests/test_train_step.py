@@ -14,8 +14,6 @@ from stereo_rcnn_tpu.train import (Batch, init_train_state, make_train_step,
 @pytest.fixture(scope="module")
 def tiny_cfg():
     cfg = tiny_test_config().replace(compute_dtype="float32")
-    cfg = dataclasses.replace(
-        cfg, backbone=dataclasses.replace(cfg.backbone, depth=50))
     return cfg
 
 
@@ -30,7 +28,12 @@ def state_and_batch(tiny_cfg):
 
 
 def test_param_labels(tiny_cfg):
-    state = init_train_state(tiny_cfg, jax.random.PRNGKey(0))
+    # Frozen-BN config: the label rules are about the reference's
+    # FIXED_BLOCKS / frozen-BN semantics.
+    cfg = dataclasses.replace(
+        tiny_cfg, backbone=dataclasses.replace(tiny_cfg.backbone,
+                                               norm="frozen"))
+    state = init_train_state(cfg, jax.random.PRNGKey(0))
     labels = jax.tree_util.tree_map_with_path(param_label, state.params)
     flat = jax.tree_util.tree_flatten_with_path(labels)[0]
     as_dict = {"/".join(str(getattr(k, "key", k)) for k in p): v
@@ -45,6 +48,16 @@ def test_param_labels(tiny_cfg):
     assert as_dict[f"{bb}/layer2_0/bn1/scale"] == "frozen"
     assert as_dict["model/rcnn_head/fc6/kernel"] == "decay"
     assert as_dict["model/rcnn_head/fc6/bias"] == "plain"
+
+    # GroupNorm config: norm affines must TRAIN (plain).
+    labels_g = jax.tree_util.tree_map_with_path(
+        param_label,
+        init_train_state(tiny_cfg, jax.random.PRNGKey(0)).params)
+    flat_g = jax.tree_util.tree_flatten_with_path(labels_g)[0]
+    gn = {"/".join(str(getattr(k, "key", k)) for k in p): v
+          for p, v in flat_g}
+    gn_keys = [k for k in gn if "/gn/" in k]
+    assert gn_keys and all(gn[k] == "plain" for k in gn_keys)
 
 
 def test_train_step_runs_and_updates(tiny_cfg, state_and_batch):
