@@ -35,7 +35,8 @@ from stereo_rcnn_tpu.models.stereo_rpn import (Proposals, StereoRPNHead,
                                                select_proposals)
 from stereo_rcnn_tpu.ops.nms import nms_indices
 from stereo_rcnn_tpu.ops.roi_align import multilevel_roi_align
-from stereo_rcnn_tpu.ops.roi_align_pallas import multilevel_roi_align_pallas
+from stereo_rcnn_tpu.ops.roi_align_pallas import (multilevel_roi_align_pallas,
+                                                  stereo_roi_align_pallas)
 
 
 class StereoRCNN(nn.Module):
@@ -135,18 +136,24 @@ def roi_features(model: StereoRCNN, feats_l, feats_r, rois_left, rois_right):
     pk = cfg.rcnn.kpt_pool_size
     sr = cfg.rcnn.sampling_ratio
 
-    impl = multilevel_roi_align_pallas if cfg.rcnn.roi_align_impl == \
-        "pallas" else multilevel_roi_align
+    if cfg.rcnn.roi_align_impl == "pallas":
+        # Fused stereo kernel: left 7x7 + right 7x7 + left 14x14 in one
+        # grid pass (the 7x7/sr2 and 14x14/sr1 sample positions coincide,
+        # so one sampling pass serves both left outputs).
+        pl_, pr_, pk_l = jax.vmap(
+            lambda fl, fr, rl, rr: stereo_roi_align_pallas(
+                list(fl), list(fr), rl, rr, strides, p, pk)
+        )(list(feats_l[:4]), list(feats_r[:4]), rois_left, rois_right)
+    else:
+        def align(feats, rois, size, sampling):
+            return multilevel_roi_align(list(feats[:4]), rois, strides,
+                                        size, sampling)
 
-    def align(feats, rois, size, sampling):
-        return impl(list(feats[:4]), rois, strides, size,
-                    sampling)                         # [B, N, s, s, C]
-
-    pl_ = align(feats_l, rois_left, p, sr)
-    pr_ = align(feats_r, rois_right, p, sr)
-    # Keypoint pool: 14x14 output already oversamples the bins — use
-    # sampling_ratio 1 (4x fewer gather taps than the 7x7 heads' ratio 2).
-    pk_l = align(feats_l, rois_left, pk, 1)
+        pl_ = align(feats_l, rois_left, p, sr)
+        pr_ = align(feats_r, rois_right, p, sr)
+        # Keypoint pool: 14x14 output already oversamples the bins — use
+        # sampling_ratio 1 (same positions as the 7x7/sr-2 pools).
+        pk_l = align(feats_l, rois_left, pk, 1)
     b, n = rois_left.shape[:2]
     c = pl_.shape[-1]
     return {

@@ -196,3 +196,221 @@ def multilevel_roi_align_pallas(feats, rois, strides, output_size,
                            interpret=interpret)
     out = jax.vmap(lambda fs, r: fn(list(fs), r))(list(feats), rois)
     return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Fused STEREO RoIAlign: left 7x7 + right 7x7 + left 14x14 in ONE grid pass.
+#
+# Two observations make this the fast path for the detector (SURVEY.md §3.4
+# fact 4: RoIAlign runs on left AND right features, and the keypoint branch
+# pools the left roi again at 14x14):
+#   * With pooling 7x7/sampling 2 and 14x14/sampling 1 the SAMPLE POSITIONS
+#     are identical — one [14, 14, C] sampling pass serves both left
+#     outputs (the 7x7 head input is just its 2x2 bin-mean).
+#   * Fusing all three aligns turns 3 sequential kernel launches x R grid
+#     steps into one, and the left window is DMA'd once instead of twice.
+# ---------------------------------------------------------------------------
+
+def _roi_window_meta(level_shapes, win_shapes, rois, strides, ps):
+    """meta [R, 4] (level, y0, x0, valid) + geom [R, 4] (y1, x1, bin_h,
+    bin_w) for a roi set, window origins 8-aligned on the W axis."""
+    levels = fpn_level_assignment(rois, len(level_shapes))
+    lvl_scale = 1.0 / jnp.asarray(strides, jnp.float32)[levels]
+    lvl_h = jnp.asarray([h for h, _ in level_shapes], jnp.float32)[levels]
+    lvl_w = jnp.asarray([w for _, w in level_shapes], jnp.float32)[levels]
+    win_h = jnp.asarray([h for h, _ in win_shapes], jnp.float32)[levels]
+    win_w = jnp.asarray([w for _, w in win_shapes], jnp.float32)[levels]
+    scaled = rois * lvl_scale[:, None]
+    x1, y1 = scaled[:, 0], scaled[:, 1]
+    roi_w = jnp.maximum(scaled[:, 2] - x1, 1.0)
+    roi_h = jnp.maximum(scaled[:, 3] - y1, 1.0)
+    y0 = jnp.clip(jnp.floor(y1 + roi_h / 2 - win_h / 2), 0,
+                  jnp.maximum(lvl_h - win_h, 0)).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(x1 + roi_w / 2 - win_w / 2), 0,
+                  jnp.maximum(lvl_w - win_w, 0)).astype(jnp.int32)
+    x0 = (x0 // 8) * 8
+    valid = (roi_w > 0) & (roi_h > 0)
+    meta = jnp.stack([levels, y0, x0, valid.astype(jnp.int32)],
+                     -1).astype(jnp.int32)
+    geom = jnp.stack([y1 - y0.astype(jnp.float32),
+                      x1 - x0.astype(jnp.float32),
+                      roi_h / ps, roi_w / ps], axis=-1)
+    return meta, geom
+
+
+def _sample_grid(window, wh, ww, c, ps, y1, x1, bin_h, bin_w):
+    """[ps, ps, C] bilinear samples at ((j+.5)*bin) offsets via hat-matmuls."""
+    grid = (jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)[:, 0]
+            .astype(jnp.float32) + 0.5)
+    ys = jnp.clip(y1 + grid * bin_h, 0.0, wh - 1.0)
+    xs = jnp.clip(x1 + grid * bin_w, 0.0, ww - 1.0)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (ps, wh),
+                                      1).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (ps, ww),
+                                      1).astype(jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(iota_h - ys[:, None]))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w - xs[:, None]))
+    tmp = jnp.dot(wy, window.reshape(wh, ww * c),
+                  preferred_element_type=jnp.float32).reshape(ps, ww, c)
+    out = jax.lax.dot_general(
+        wx, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.swapaxes(out, 0, 1)                   # [ps(y), ps(x), C]
+
+
+def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
+                   num_levels: int, p: int, pk: int, win_shapes, c: int,
+                   n_rois: int):
+    """Double-buffered fused stereo RoIAlign.
+
+    Scratch is ONE max-size window per (side, slot); each level's window is
+    DMA'd into its prefix so all levels share the buffer.  While roi i is
+    being sampled, roi i+1's two windows are already in flight (ping-pong
+    slots) — the per-step cost becomes max(DMA, compute) instead of their
+    sum.
+    """
+    feat_l = refs[:num_levels]
+    feat_r = refs[num_levels:2 * num_levels]
+    out14l_ref, out7l_ref, out7r_ref = refs[2 * num_levels:2 * num_levels + 3]
+    scratch_l, scratch_r = refs[2 * num_levels + 3:2 * num_levels + 5]
+    sem_l, sem_r = refs[-2], refs[-1]
+
+    i = pl.program_id(0)
+    ps = pk                                          # = p * 2 = 14 samples
+
+    def dma(side_feats, scratch, sem, meta_ref, j, slot):
+        """Start-or-wait helper: returns the copy descriptors per level."""
+        out = []
+        for lvl in range(num_levels):
+            wh, ww = win_shapes[lvl]
+            y0 = meta_ref[j, 1]
+            x0 = pl.multiple_of(meta_ref[j, 2], 8)
+            out.append((lvl, pltpu.make_async_copy(
+                side_feats[lvl].at[pl.ds(y0, wh), pl.ds(x0, ww), :],
+                scratch.at[slot, pl.ds(0, wh), pl.ds(0, ww), :],
+                sem.at[slot])))
+        return out
+
+    def start_both(j, slot):
+        for meta_ref, feats, scratch, sem in (
+                (meta_l_ref, feat_l, scratch_l, sem_l),
+                (meta_r_ref, feat_r, scratch_r, sem_r)):
+            for lvl, copy in dma(feats, scratch, sem, meta_ref, j, slot):
+                @pl.when(meta_ref[j, 0] == lvl)
+                def _():
+                    copy.start()
+
+    def wait_both(j, slot):
+        for meta_ref, feats, scratch, sem in (
+                (meta_l_ref, feat_l, scratch_l, sem_l),
+                (meta_r_ref, feat_r, scratch_r, sem_r)):
+            for lvl, copy in dma(feats, scratch, sem, meta_ref, j, slot):
+                @pl.when(meta_ref[j, 0] == lvl)
+                def _():
+                    copy.wait()
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        start_both(0, 0)
+
+    @pl.when(i + 1 < n_rois)
+    def _():
+        start_both(i + 1, nxt)
+
+    wait_both(i, slot)
+
+    valid_l = (meta_l_ref[i, 3] > 0).astype(jnp.float32)
+    valid_r = (meta_r_ref[i, 3] > 0).astype(jnp.float32)
+
+    for lvl in range(num_levels):
+        wh, ww = win_shapes[lvl]
+
+        @pl.when(meta_l_ref[i, 0] == lvl)
+        def _():
+            window = scratch_l[slot, pl.ds(0, wh), pl.ds(0, ww), :]
+            samples = _sample_grid(
+                window, wh, ww, c, ps,
+                geom_l_ref[i, 0], geom_l_ref[i, 1],
+                geom_l_ref[i, 2], geom_l_ref[i, 3]) * valid_l
+            out14l_ref[0] = samples
+            out7l_ref[0] = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
+
+        @pl.when(meta_r_ref[i, 0] == lvl)
+        def _():
+            window = scratch_r[slot, pl.ds(0, wh), pl.ds(0, ww), :]
+            samples = _sample_grid(
+                window, wh, ww, c, ps,
+                geom_r_ref[i, 0], geom_r_ref[i, 1],
+                geom_r_ref[i, 2], geom_r_ref[i, 3]) * valid_r
+            out7r_ref[0] = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
+
+
+# Tighter per-level window bounds than the generic kernel: a roi assigned
+# to level k has sqrt(wh) <= 28 cells, so even 4:1-aspect boxes fit in 64
+# columns; P4/P5 are small enough to window (nearly) whole.
+_STEREO_WIN = [(48, 64), (48, 64), (24, 64), (12, 40)]
+
+
+def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
+                            pooling_size: int = 7, kpt_size: int = 14,
+                            interpret: bool = False):
+    """Fused stereo RoIAlign for one image.
+
+    feats_*: 4-level pyramids [H_l, W_l, C]; rois_*: [R, 4].
+    Returns (pooled_l [R, 7, 7, C], pooled_r [R, 7, 7, C],
+             pooled_kpt_l [R, 14, 14, C]) — identical semantics to three
+    calls of :func:`multilevel_roi_align` with (7, sr=2), (7, sr=2),
+    (14, sr=1).
+    """
+    assert kpt_size == pooling_size * 2
+    r = rois_l.shape[0]
+    c = feats_l[0].shape[-1]
+    num_levels = len(feats_l)
+    level_shapes = [(f.shape[0], f.shape[1]) for f in feats_l]
+    win_shapes = [(min(h, bh), min(w, bw))
+                  for (h, w), (bh, bw) in zip(level_shapes, _STEREO_WIN)]
+
+    meta_l, geom_l = _roi_window_meta(level_shapes, win_shapes, rois_l,
+                                      strides, kpt_size)
+    meta_r, geom_r = _roi_window_meta(level_shapes, win_shapes, rois_r,
+                                      strides, kpt_size)
+
+    kernel = functools.partial(
+        _stereo_kernel, num_levels=num_levels, p=pooling_size, pk=kpt_size,
+        win_shapes=win_shapes, c=c, n_rois=r)
+
+    p = pooling_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(r,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)
+                  for _ in range(2 * num_levels)],
+        out_specs=(
+            pl.BlockSpec((1, kpt_size, kpt_size, c),
+                         lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((2, max(h for h, _ in win_shapes),
+                         max(w for _, w in win_shapes), c),
+                        feats_l[0].dtype)] * 2 +
+            [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]),
+    )
+    out14l, out7l, out7r = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((r, kpt_size, kpt_size, c), jnp.float32),
+            jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
+            jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(meta_l, geom_l, meta_r, geom_r, *feats_l, *feats_r)
+    return out7l, out7r, out14l

@@ -50,3 +50,31 @@ def test_pallas_batched(pyramid):
     assert out.shape == (2, 1, 7, 7, 32)
     np.testing.assert_allclose(np.asarray(out[1]), 2 * np.asarray(out[0]),
                                rtol=1e-3)
+
+
+def test_fused_stereo_kernel_matches_xla(pyramid):
+    feats, strides, h, w = pyramid
+    r = np.random.RandomState(3)
+    rois_l, rois_r = [], []
+    for size in (40, 90, 180):
+        for _ in range(3):
+            x1 = r.uniform(30, w - size - 30) if w - size - 60 > 0 else 30
+            y1 = r.uniform(8, max(h - size // 2 - 8, 9))
+            box = [x1, y1, x1 + size, min(y1 + size / 2, h - 4.0)]
+            rois_l.append(box)
+            rois_r.append([box[0] - 10, box[1], box[2] - 10, box[3]])
+    rois_l = jnp.asarray(np.asarray(rois_l, np.float32))
+    rois_r = jnp.asarray(np.asarray(rois_r, np.float32))
+
+    from stereo_rcnn_tpu.ops.roi_align_pallas import stereo_roi_align_pallas
+    out7l, out7r, out14l = stereo_roi_align_pallas(
+        feats, feats, rois_l, rois_r, strides, 7, 14, interpret=True)
+    ref7l = multilevel_roi_align(feats, rois_l, strides, 7, 2)
+    ref7r = multilevel_roi_align(feats, rois_r, strides, 7, 2)
+    ref14l = multilevel_roi_align(feats, rois_l, strides, 14, 1)
+    np.testing.assert_allclose(np.asarray(out7l), np.asarray(ref7l),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out7r), np.asarray(ref7r),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out14l), np.asarray(ref14l),
+                               atol=2e-3, rtol=1e-3)
