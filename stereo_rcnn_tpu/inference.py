@@ -10,15 +10,13 @@ batch of 3D boxes out with no host round-trips.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from stereo_rcnn_tpu.config import Config
 from stereo_rcnn_tpu.geometry.calib import StereoCalib
-from stereo_rcnn_tpu.geometry.projection import ry_from_alpha
 from stereo_rcnn_tpu.models.detector import Detections, make_inference_fn
 from stereo_rcnn_tpu.solve.box_estimator import (observations_from_detection,
                                                  solve_batch)

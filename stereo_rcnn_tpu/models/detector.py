@@ -19,7 +19,7 @@ TPU design:
 from __future__ import annotations
 
 import functools
-from typing import Any, List, NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +35,7 @@ from stereo_rcnn_tpu.models.stereo_rpn import (Proposals, StereoRPNHead,
                                                select_proposals)
 from stereo_rcnn_tpu.ops.nms import nms_indices
 from stereo_rcnn_tpu.ops.roi_align import multilevel_roi_align
-from stereo_rcnn_tpu.ops.roi_align_pallas import (multilevel_roi_align_pallas,
-                                                  stereo_roi_align_pallas)
+from stereo_rcnn_tpu.ops.roi_align_pallas import stereo_roi_align_pallas
 
 
 class StereoRCNN(nn.Module):

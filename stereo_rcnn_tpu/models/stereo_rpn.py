@@ -16,7 +16,7 @@ top-k → union-box NMS (`ops.nms`) → padded top-k, all inside jit.
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Sequence, Tuple
+from typing import Any, List, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from stereo_rcnn_tpu.config import SolverConfig

@@ -8,7 +8,7 @@ CLI row: this is why the released checkpoint name embeds a negative loss).
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

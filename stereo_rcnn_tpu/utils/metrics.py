@@ -11,7 +11,7 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Dict, Mapping, Optional
+from typing import Mapping, Optional
 
 
 class StepTimer:
