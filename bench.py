@@ -42,7 +42,7 @@ def main():
     cfg = dataclasses.replace(
         cfg, rcnn=dataclasses.replace(cfg.rcnn, roi_align_impl="pallas"))
     h, w = cfg.data.image_h, cfg.data.image_w
-    batch = 8
+    batch = 16
     calib = default_kitti_calib()
     scale = min(h / 375.0, w / 1242.0)
 
