@@ -118,6 +118,14 @@ def init_train_state(cfg: Config, rng: jax.Array, steps_per_epoch: int = 1000,
 def compute_losses(model: StereoRCNN, model_params, batch: Batch,
                    rng: jax.Array, cfg: Config) -> Dict[str, jnp.ndarray]:
     """All 6 losses, averaged over the local batch."""
+    # The Pallas RoIAlign kernel is forward-only (no custom_vjp yet); the
+    # training path always differentiates through the XLA atlas
+    # implementation, whose gather backward is a scatter-add.
+    if cfg.rcnn.roi_align_impl != "xla":
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, rcnn=dataclasses.replace(cfg.rcnn, roi_align_impl="xla"))
+        model = build_model(cfg)
     b, im_h, im_w, _ = batch.images_left.shape
     variables = {"params": model_params}
 
