@@ -214,7 +214,10 @@ def postprocess(raw: dict, cfg: Config, im_h: int, im_w: int) -> Detections:
         # channels 0..3 form a JOINT distribution over (corner type, u-bin)
         # — softmax over 4*G — localising which vertical edge is visible and
         # where; channels 4..5 are independent G-bin boundary distributions.
-        # Bins span the LEFT box width.
+        # Bins span the PROPOSAL RoI the keypoint branch pooled (the same
+        # box the training targets in train/targets.py are defined against),
+        # NOT the regressed box — decoding against the regressed box would
+        # shift kpt_u/border_u by the regression delta.
         kl = kpt_logits[idx]                                 # [D, 6, G]
         g = kl.shape[-1]
         d = kl.shape[0]
@@ -224,10 +227,11 @@ def postprocess(raw: dict, cfg: Config, im_h: int, im_w: int) -> Detections:
         kpt_type = (flat_idx // g).astype(jnp.int32)
         kpt_bin = (flat_idx % g).astype(jnp.float32)
         peak = jnp.take_along_axis(persp_prob, flat_idx[:, None], 1)[:, 0]
-        w = box_l[:, 2] - box_l[:, 0]
-        kpt_u = box_l[:, 0] + (kpt_bin + 0.5) / g * w        # [D]
+        roi = props.left[idx]                                # [D, 4]
+        w = jnp.maximum(roi[:, 2] - roi[:, 0], 1e-3)
+        kpt_u = roi[:, 0] + (kpt_bin + 0.5) / g * w          # [D]
         border_bin = jnp.argmax(kl[:, 4:6, :], axis=-1).astype(jnp.float32)
-        border_u = box_l[:, 0:1] + (border_bin + 0.5) / g * w[:, None]
+        border_u = roi[:, 0:1] + (border_bin + 0.5) / g * w[:, None]
         return Detections(
             box_left=box_l, box_right=box_r, score=score,
             cls=jnp.ones((rc.max_detections,), jnp.int32),

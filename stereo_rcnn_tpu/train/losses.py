@@ -42,7 +42,9 @@ def rpn_losses(logits: jnp.ndarray, deltas: jnp.ndarray,
 
     fg = ((tgt.labels == 1) & (tgt.weights > 0)).astype(jnp.float32)
     box = smooth_l1(deltas - tgt.box_targets, beta=1.0 / 9.0).sum(-1) * fg
-    box_loss = box.sum() / jnp.maximum(fg.sum(), 1.0)
+    # Reference normalizes by the FULL sampled anchor batch (outside_weights
+    # = 1/RPN_BATCHSIZE), not the foreground count.
+    box_loss = box.sum() / n
     return {"rpn_cls": cls_loss, "rpn_box": box_loss}
 
 

@@ -53,7 +53,15 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", k)) for k in path)
 
 
-def param_label(path, _leaf) -> str:
+def param_label(path, _leaf, freeze_stem: bool = True) -> str:
+    """Optimizer partition for one param.
+
+    ``freeze_stem`` mirrors the reference's FIXED_BLOCKS=1 (conv1 + layer1
+    frozen) — that semantics presumes PRETRAINED caffe weights, so it only
+    applies to the ``norm="frozen"`` backbone; a from-scratch GroupNorm
+    backbone trains its stem (freezing random weights would silently cap
+    quality).
+    """
     p = _path_str(path)
     segs = p.split("/")
     if segs[0] == "uncert":
@@ -66,7 +74,7 @@ def param_label(path, _leaf) -> str:
         return "frozen"
     # Stem conv (directly under the backbone — NOT the bottleneck-internal
     # convs that share the name "conv1") and all of layer1.
-    if "backbone_net" in segs:
+    if freeze_stem and "backbone_net" in segs:
         nxt = segs[segs.index("backbone_net") + 1]
         if nxt == "conv1" or nxt.startswith("layer1_"):
             return "frozen"
@@ -93,7 +101,10 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
                 "uncert": sgd(),
             },
             lambda params: jax.tree_util.tree_map_with_path(
-                param_label, params),
+                functools.partial(
+                    param_label,
+                    freeze_stem=cfg.backbone.norm == "frozen"),
+                params),
         ),
     )
     return tx, schedule

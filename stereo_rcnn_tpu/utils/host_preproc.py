@@ -8,6 +8,7 @@ header for why this is native (input-pipeline throughput).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -21,6 +22,25 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+def _self_test(lib: ctypes.CDLL) -> bool:
+    """Run the native path on a tiny input and compare against the numpy
+    fallback — rejects a stale/foreign binary before it serves real data."""
+    rng = np.random.RandomState(0)
+    src = rng.randint(0, 256, (13, 17, 3)).astype(np.uint8)
+    means = np.array([10.0, 20.0, 30.0], np.float32)
+    dst = np.zeros((10, 20, 3), np.float32)
+    try:
+        lib.resize_subtract_pad(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 13, 17,
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 10, 20,
+            ctypes.c_float(0.7),
+            means.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    except Exception:
+        return False
+    want = _numpy_fallback(src, 10, 20, 0.7, means)
+    return bool(np.allclose(dst, want, atol=1.0))   # sanity, not precision
+
+
 def _build_and_load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     with _LOCK:
@@ -30,18 +50,27 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         src = os.path.abspath(os.path.join(_CSRC, "host_preproc.cpp"))
         out_dir = os.path.join(_CSRC, "build")
         os.makedirs(out_dir, exist_ok=True)
-        so = os.path.join(out_dir, "libhost_preproc.so")
-        if (not os.path.exists(so) or
-                os.path.getmtime(so) < os.path.getmtime(src)):
-            cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                   "-fPIC", src, "-o", so]
+        # Portable flags only (no -march=native: a prebuilt binary moved to
+        # another microarchitecture could SIGILL inside the pipeline).  The
+        # kernel is memory-bound, so target-specific codegen buys little.
+        cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC"]
+        # Rebuild is keyed on a (source, flags) hash, not mtimes — a fresh
+        # checkout resets mtimes and must not resurrect a stale binary.
+        tag = hashlib.sha256()
+        with open(src, "rb") as f:
+            tag.update(f.read())
+        tag.update(" ".join(cmd).encode())
+        so = os.path.join(out_dir,
+                          f"libhost_preproc.{tag.hexdigest()[:16]}.so")
+        if not os.path.exists(so):
             try:
-                subprocess.run(cmd, check=True, capture_output=True)
+                subprocess.run(cmd + [src, "-o", so], check=True,
+                               capture_output=True)
             except (subprocess.CalledProcessError, FileNotFoundError):
-                try:  # retry without -march/-fopenmp
-                    subprocess.run(["g++", "-O3", "-shared", "-fPIC", src,
-                                    "-o", so], check=True,
-                                   capture_output=True)
+                try:  # retry without -fopenmp
+                    subprocess.run(
+                        ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
+                        check=True, capture_output=True)
                 except Exception:
                     return None
         try:
@@ -52,6 +81,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.POINTER(ctypes.c_float)]
+        if not _self_test(lib):
+            return None
         _LIB = lib
         return _LIB
 

@@ -29,12 +29,13 @@ def state_and_batch(tiny_cfg):
 
 def test_param_labels(tiny_cfg):
     # Frozen-BN config: the label rules are about the reference's
-    # FIXED_BLOCKS / frozen-BN semantics.
+    # FIXED_BLOCKS / frozen-BN semantics (presumes pretrained weights).
     cfg = dataclasses.replace(
         tiny_cfg, backbone=dataclasses.replace(tiny_cfg.backbone,
                                                norm="frozen"))
     state = init_train_state(cfg, jax.random.PRNGKey(0))
-    labels = jax.tree_util.tree_map_with_path(param_label, state.params)
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, l: param_label(p, l, freeze_stem=True), state.params)
     flat = jax.tree_util.tree_flatten_with_path(labels)[0]
     as_dict = {"/".join(str(getattr(k, "key", k)) for k in p): v
                for p, v in flat}
@@ -49,15 +50,18 @@ def test_param_labels(tiny_cfg):
     assert as_dict["model/rcnn_head/fc6/kernel"] == "decay"
     assert as_dict["model/rcnn_head/fc6/bias"] == "plain"
 
-    # GroupNorm config: norm affines must TRAIN (plain).
+    # GroupNorm (from-scratch) config: norm affines train AND the stem is
+    # NOT frozen (freezing random weights would cap training quality).
     labels_g = jax.tree_util.tree_map_with_path(
-        param_label,
+        lambda p, l: param_label(p, l, freeze_stem=False),
         init_train_state(tiny_cfg, jax.random.PRNGKey(0)).params)
     flat_g = jax.tree_util.tree_flatten_with_path(labels_g)[0]
     gn = {"/".join(str(getattr(k, "key", k)) for k in p): v
           for p, v in flat_g}
     gn_keys = [k for k in gn if "/gn/" in k]
     assert gn_keys and all(gn[k] == "plain" for k in gn_keys)
+    assert gn[f"{bb}/conv1/kernel"] == "decay"                # stem trains
+    assert gn[f"{bb}/layer1_0/conv1/kernel"] == "decay"
 
 
 def test_train_step_runs_and_updates(tiny_cfg, state_and_batch):
@@ -72,9 +76,10 @@ def test_train_step_runs_and_updates(tiny_cfg, state_and_batch):
     p0 = state.params["model"]["rcnn_head"]["fc6"]["kernel"]
     p1 = new_state.params["model"]["rcnn_head"]["fc6"]["kernel"]
     assert float(jnp.abs(p1 - p0).max()) > 0          # trainable moved
+    # From-scratch (GroupNorm) config: the stem TRAINS (see param_label).
     f0 = state.params["model"]["backbone_net"]["conv1"]["kernel"]
     f1 = new_state.params["model"]["backbone_net"]["conv1"]["kernel"]
-    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))  # frozen
+    assert float(jnp.abs(jnp.asarray(f1) - jnp.asarray(f0)).max()) > 0
     u0 = state.params["uncert"]
     u1 = new_state.params["uncert"]
     assert float(jnp.abs(u1 - u0).max()) > 0          # uncertainty learns
