@@ -46,7 +46,8 @@ def import_resnet_backbone(state_dict: Mapping[str, np.ndarray],
     :class:`stereo_rcnn_tpu.models.resnet_fpn.ResNetFPN` (backbone stages
     only — FPN layers are left to their fresh initialisation unless the
     state_dict also carries them)."""
-    blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[depth]
+    from stereo_rcnn_tpu.models.resnet_fpn import STAGE_BLOCKS
+    blocks = STAGE_BLOCKS[depth]
     params: Dict = {
         "conv1": _conv(state_dict, "conv1.weight"),
         "bn1": _fold_bn(state_dict, "bn1"),

@@ -79,9 +79,13 @@ class KeypointHead(nn.Module):
                             dtype=self.dtype, name="kpt_conv1")(x))
         x = nn.relu(nn.Conv(self.conv_dim, (3, 3), padding="SAME",
                             dtype=self.dtype, name="kpt_conv2")(x))
-        # Deconv x2: 14 -> 28 spatial.
+        # Deconv x2: 14 -> 28 spatial.  ``transpose_kernel=True`` matches
+        # torch ConvTranspose2d(k=4, s=2, p=1) semantics exactly, so the
+        # reference checkpoint's deconv weights convert losslessly
+        # (verified numerically in tests/test_convert.py).
         x = nn.relu(nn.ConvTranspose(self.conv_dim, (4, 4), strides=(2, 2),
-                                     padding="SAME", dtype=self.dtype,
+                                     padding="SAME", transpose_kernel=True,
+                                     dtype=self.dtype,
                                      name="kpt_deconv")(x))
         x = nn.Conv(self.num_channels, (1, 1), dtype=self.dtype,
                     name="kpt_score")(x)                    # [R, G, G, 6]
