@@ -35,7 +35,7 @@ from stereo_rcnn_tpu.models.stereo_rpn import (Proposals, StereoRPNHead,
                                                select_proposals)
 from stereo_rcnn_tpu.ops.nms import nms_indices
 from stereo_rcnn_tpu.ops.roi_align import multilevel_roi_align
-from stereo_rcnn_tpu.ops.roi_align_pallas import stereo_roi_align_pallas
+from stereo_rcnn_tpu.ops.roi_align_pallas import stereo_roi_align_batched
 
 
 class StereoRCNN(nn.Module):
@@ -138,11 +138,12 @@ def roi_features(model: StereoRCNN, feats_l, feats_r, rois_left, rois_right):
     if cfg.rcnn.roi_align_impl == "pallas":
         # Fused stereo kernel: left 7x7 + right 7x7 + left 14x14 in one
         # grid pass (the 7x7/sr2 and 14x14/sr1 sample positions coincide,
-        # so one sampling pass serves both left outputs).
-        pl_, pr_, pk_l = jax.vmap(
-            lambda fl, fr, rl, rr: stereo_roi_align_pallas(
-                list(fl), list(fr), rl, rr, strides, p, pk)
-        )(list(feats_l[:4]), list(feats_r[:4]), rois_left, rois_right)
+        # so one sampling pass serves both left outputs).  Differentiable:
+        # custom_vjp backward is a Pallas hat-matrix-transpose kernel, so
+        # training uses this path too (interpret mode auto-enables off-TPU).
+        pl_, pr_, pk_l = stereo_roi_align_batched(
+            tuple(feats_l[:4]), tuple(feats_r[:4]), rois_left, rois_right,
+            tuple(strides), p, pk, None)
     else:
         def align(feats, rois, size, sampling):
             return multilevel_roi_align(list(feats[:4]), rois, strides,

@@ -228,7 +228,9 @@ def _roi_window_meta(level_shapes, win_shapes, rois, strides, ps):
     x0 = jnp.clip(jnp.floor(x1 + roi_w / 2 - win_w / 2), 0,
                   jnp.maximum(lvl_w - win_w, 0)).astype(jnp.int32)
     x0 = (x0 // 8) * 8
-    valid = (roi_w > 0) & (roi_h > 0)
+    # Validity from the RAW rois (pre-clamp): zero-area padded rois must
+    # produce zero output (and zero gradient in the backward kernel).
+    valid = (rois[:, 2] > rois[:, 0]) & (rois[:, 3] > rois[:, 1])
     meta = jnp.stack([levels, y0, x0, valid.astype(jnp.int32)],
                      -1).astype(jnp.int32)
     geom = jnp.stack([y1 - y0.astype(jnp.float32),
@@ -353,6 +355,14 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
 _STEREO_WIN = [(48, 64), (48, 64), (24, 64), (12, 40)]
 
 
+def _auto_interpret(interpret):
+    """interpret=None -> interpret mode everywhere except real TPU, so the
+    same code path runs in CPU tests without explicit flags."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
                             pooling_size: int = 7, kpt_size: int = 14,
                             interpret: bool = False):
@@ -413,3 +423,213 @@ def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
         interpret=interpret,
     )(meta_l, geom_l, meta_r, geom_r, *feats_l, *feats_r)
     return out7l, out7r, out14l
+
+
+# ---------------------------------------------------------------------------
+# Backward pass: transpose of the hat-matrix sampling, as a Pallas kernel.
+#
+# Behavioral reference: the backward half of
+# ``lib/model/csrc/cuda/ROIAlign_cuda.cu`` (scatter-add of bilinear weights
+# into the feature gradient).  TPU design: the forward samples are
+#     samples = swap( wx @ (wy @ W) )            (two MXU matmuls)
+# so the cotangent of the window W is exactly
+#     dW = wy^T @ swap(g)-contracted-with-wx     (two MXU matmuls again)
+# — no scatters.  Each grid step accumulates one roi's window gradient into
+# the per-level HBM gradient arrays via read-modify-write DMA; TPU Pallas
+# grid steps execute SEQUENTIALLY on the core, so the RMW is race-free (the
+# CUDA kernel needs atomics here; we need nothing).
+# ---------------------------------------------------------------------------
+
+def _grad_window(g_samples, wh, ww, c, ps, y1, x1, bin_h, bin_w):
+    """Transpose of :func:`_sample_grid`: cotangent [ps, ps, C] (y-major)
+    -> window gradient [wh, ww*C]."""
+    grid = (jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)[:, 0]
+            .astype(jnp.float32) + 0.5)
+    ys = jnp.clip(y1 + grid * bin_h, 0.0, wh - 1.0)
+    xs = jnp.clip(x1 + grid * bin_w, 0.0, ww - 1.0)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (ps, wh),
+                                      1).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (ps, ww),
+                                      1).astype(jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(iota_h - ys[:, None]))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w - xs[:, None]))
+    g_pre = jnp.swapaxes(g_samples, 0, 1)            # [ps(x), ps(y), C]
+    # d_tmp[w, y, C] = sum_x wx[x, w] * g_pre[x, y, C]
+    d_tmp = jax.lax.dot_general(
+        wx, g_pre, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [ww, ps(y), C]
+    d_tmp = jnp.swapaxes(d_tmp, 0, 1)                # [ps(y), ww, C]
+    # dW[wh, ww*C] = wy^T @ d_tmp
+    return jax.lax.dot_general(
+        wy, d_tmp.reshape(ps, ww * c),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [wh, ww*C]
+
+
+def _stereo_bwd_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref,
+                       d14_ref, d7l_ref, d7r_ref, *refs,
+                       num_levels: int, p: int, pk: int, win_shapes,
+                       c: int):
+    """One (batch, roi) pair per grid step; meta carries (level, y0, x0,
+    valid, batch).  refs layout: gl_in[L] + gr_in[L] (aliased with outputs)
+    + gl_out[L] + gr_out[L] + scratch (acc_l, acc_r, sem)."""
+    n_in = 2 * num_levels
+    out_refs = refs[n_in:n_in + 2 * num_levels]
+    gl_out = out_refs[:num_levels]
+    gr_out = out_refs[num_levels:]
+    acc_l, acc_r, sem = refs[-3], refs[-2], refs[-1]
+
+    i = pl.program_id(0)
+    ps = pk
+
+    d7l_up = jnp.repeat(jnp.repeat(d7l_ref[0], 2, 0), 2, 1) * 0.25
+    d7r_up = jnp.repeat(jnp.repeat(d7r_ref[0], 2, 0), 2, 1) * 0.25
+    g_left = (d14_ref[0] + d7l_up) * \
+        (meta_l_ref[i, 3] > 0).astype(jnp.float32)
+    g_right = d7r_up * (meta_r_ref[i, 3] > 0).astype(jnp.float32)
+
+    for side, (meta_ref, geom_ref, g, outs, acc) in enumerate((
+            (meta_l_ref, geom_l_ref, g_left, gl_out, acc_l),
+            (meta_r_ref, geom_r_ref, g_right, gr_out, acc_r))):
+        b = meta_ref[i, 4]
+        y0 = meta_ref[i, 1]
+        x0 = pl.multiple_of(meta_ref[i, 2], 8)
+        for lvl in range(num_levels):
+            wh, ww = win_shapes[lvl]
+
+            @pl.when(meta_ref[i, 0] == lvl)
+            def _():
+                dw = _grad_window(
+                    g, wh, ww, c, ps,
+                    geom_ref[i, 0], geom_ref[i, 1],
+                    geom_ref[i, 2], geom_ref[i, 3])          # [wh, ww*C]
+                region = outs[lvl].at[b, pl.ds(y0, wh), pl.ds(x0, ww), :]
+                load = pltpu.make_async_copy(
+                    region, acc.at[pl.ds(0, wh), pl.ds(0, ww), :], sem)
+                load.start()
+                load.wait()
+                acc[pl.ds(0, wh), pl.ds(0, ww), :] = \
+                    acc[pl.ds(0, wh), pl.ds(0, ww), :] + \
+                    dw.reshape(wh, ww, c)
+                store = pltpu.make_async_copy(
+                    acc.at[pl.ds(0, wh), pl.ds(0, ww), :], region, sem)
+                store.start()
+                store.wait()
+
+
+def _stereo_roi_align_bwd_impl(feats_l, feats_r, rois_l, rois_r, strides,
+                               pooling_size, kpt_size, interpret,
+                               d7l, d7r, d14l):
+    """Batched backward: returns (d_feats_l, d_feats_r) as float32 arrays
+    shaped like the (batched) input pyramids."""
+    bsz, r = rois_l.shape[:2]
+    c = feats_l[0].shape[-1]
+    num_levels = len(feats_l)
+    level_shapes = [(f.shape[1], f.shape[2]) for f in feats_l]
+    win_shapes = [(min(h, bh), min(w, bw))
+                  for (h, w), (bh, bw) in zip(level_shapes, _STEREO_WIN)]
+
+    def meta_with_batch(rois):
+        flat = rois.reshape(bsz * r, 4)
+        meta, geom = _roi_window_meta(level_shapes, win_shapes, flat,
+                                      strides, kpt_size)
+        b_idx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), r)
+        return jnp.concatenate([meta, b_idx[:, None]], -1), geom
+
+    meta_l, geom_l = meta_with_batch(rois_l)
+    meta_r, geom_r = meta_with_batch(rois_r)
+
+    zeros_l = [jnp.zeros((bsz, h, w, c), jnp.float32)
+               for h, w in level_shapes]
+    zeros_r = [jnp.zeros((bsz, h, w, c), jnp.float32)
+               for h, w in level_shapes]
+
+    p = pooling_size
+    kernel = functools.partial(
+        _stereo_bwd_kernel, num_levels=num_levels, p=p, pk=kpt_size,
+        win_shapes=win_shapes, c=c)
+
+    wh_max = max(h for h, _ in win_shapes)
+    ww_max = max(w for _, w in win_shapes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(bsz * r,),
+        in_specs=(
+            [pl.BlockSpec((1, kpt_size, kpt_size, c),
+                          lambda i, *_: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)] +
+            [pl.BlockSpec(memory_space=pltpu.HBM)
+             for _ in range(2 * num_levels)]),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.HBM)
+                        for _ in range(2 * num_levels)),
+        scratch_shapes=[pltpu.VMEM((wh_max, ww_max, c), jnp.float32),
+                        pltpu.VMEM((wh_max, ww_max, c), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((bsz, h, w, c), jnp.float32)
+            for h, w in level_shapes * 2),
+        # Zero-initialised gradient accumulators alias the outputs so each
+        # grid step read-modify-writes them in place.  Operand indices
+        # INCLUDE the 4 scalar-prefetch args: meta/geom are 0..3, d14/d7l/
+        # d7r are 4..6, the accumulators start at 7.
+        input_output_aliases={7 + k: k for k in range(2 * num_levels)},
+        interpret=interpret,
+    )(meta_l, geom_l, meta_r, geom_r,
+      d14l.reshape(bsz * r, kpt_size, kpt_size, c),
+      d7l.reshape(bsz * r, p, p, c),
+      d7r.reshape(bsz * r, p, p, c),
+      *zeros_l, *zeros_r)
+    d_feats_l = list(outs[:num_levels])
+    d_feats_r = list(outs[num_levels:])
+    return d_feats_l, d_feats_r
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def stereo_roi_align_batched(feats_l, feats_r, rois_l, rois_r, strides,
+                             pooling_size: int = 7, kpt_size: int = 14,
+                             interpret: bool | None = None):
+    """Differentiable BATCHED fused stereo RoIAlign.
+
+    feats_*: tuples of [B, H_l, W_l, C] pyramid levels; rois_*: [B, R, 4].
+    Returns (pooled_l [B,R,7,7,C], pooled_r, pooled_kpt_l [B,R,14,14,C]).
+    Forward = the fused double-buffered kernel; backward = hat-matrix
+    transpose kernel (gradients flow to the FEATURES; rois get none — the
+    detector feeds proposals through stop_gradient, matching the reference
+    where RoI coordinates are not differentiated either).
+    """
+    interpret = _auto_interpret(interpret)
+    fn = functools.partial(stereo_roi_align_pallas, strides=strides,
+                           pooling_size=pooling_size, kpt_size=kpt_size,
+                           interpret=interpret)
+    return jax.vmap(lambda fl, fr, rl, rr: fn(list(fl), list(fr), rl, rr))(
+        tuple(feats_l), tuple(feats_r), rois_l, rois_r)
+
+
+def _batched_fwd(feats_l, feats_r, rois_l, rois_r, strides, pooling_size,
+                 kpt_size, interpret):
+    out = stereo_roi_align_batched(feats_l, feats_r, rois_l, rois_r,
+                                   strides, pooling_size, kpt_size,
+                                   interpret)
+    return out, (tuple(feats_l), tuple(feats_r), rois_l, rois_r)
+
+
+def _batched_bwd(strides, pooling_size, kpt_size, interpret, res, g):
+    feats_l, feats_r, rois_l, rois_r = res
+    d7l, d7r, d14l = g
+    dl, dr = _stereo_roi_align_bwd_impl(
+        feats_l, feats_r, rois_l, rois_r, strides, pooling_size, kpt_size,
+        _auto_interpret(interpret), d7l, d7r, d14l)
+    dl = tuple(d.astype(f.dtype) for d, f in zip(dl, feats_l))
+    dr = tuple(d.astype(f.dtype) for d, f in zip(dr, feats_r))
+    return (dl, dr, jnp.zeros_like(rois_l), jnp.zeros_like(rois_r))
+
+
+stereo_roi_align_batched.defvjp(_batched_fwd, _batched_bwd)

@@ -128,15 +128,11 @@ def init_train_state(cfg: Config, rng: jax.Array, steps_per_epoch: int = 1000,
 
 def compute_losses(model: StereoRCNN, model_params, batch: Batch,
                    rng: jax.Array, cfg: Config) -> Dict[str, jnp.ndarray]:
-    """All 6 losses, averaged over the local batch."""
-    # The Pallas RoIAlign kernel is forward-only (no custom_vjp yet); the
-    # training path always differentiates through the XLA atlas
-    # implementation, whose gather backward is a scatter-add.
-    if cfg.rcnn.roi_align_impl != "xla":
-        import dataclasses
-        cfg = dataclasses.replace(
-            cfg, rcnn=dataclasses.replace(cfg.rcnn, roi_align_impl="xla"))
-        model = build_model(cfg)
+    """All 6 losses, averaged over the local batch.
+
+    The Pallas RoIAlign path is fully differentiable (custom_vjp with a
+    Pallas backward kernel — see ops/roi_align_pallas.py), so training uses
+    whichever ``cfg.rcnn.roi_align_impl`` the config selects."""
     b, im_h, im_w, _ = batch.images_left.shape
     variables = {"params": model_params}
 
