@@ -60,6 +60,10 @@ class RPNConfig:
     fg_fraction: float = 0.5             # cfg.TRAIN.RPN_FG_FRACTION
     positive_overlap: float = 0.7        # cfg.TRAIN.RPN_POSITIVE_OVERLAP
     negative_overlap: float = 0.3        # cfg.TRAIN.RPN_NEGATIVE_OVERLAP
+    allowed_border: float = 0.0          # _AnchorTargetLayer._allowed_border
+    # Background anchors with intersection/anchor-area above this vs an
+    # ignore region (DontCare/Van) are excluded from negative sampling.
+    ignore_overlap: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +90,8 @@ class RCNNConfig:
     fg_thresh: float = 0.5               # cfg.TRAIN.FG_THRESH
     bg_thresh_hi: float = 0.5            # cfg.TRAIN.BG_THRESH_HI
     bg_thresh_lo: float = 0.0            # cfg.TRAIN.BG_THRESH_LO
+    # RoIs mostly inside an ignore region are excluded from the bg pool.
+    ignore_overlap: float = 0.5
 
     # Keypoint head: six 1-D distributions over `kpt_grid` horizontal bins
     # (4 perspective keypoint channels + 2 visible-boundary channels).

@@ -103,6 +103,8 @@ class StereoAnnotation:
     kpt_visible: bool
     border_u: np.ndarray     # [2]
     ignore: bool
+    location: np.ndarray = None  # [3] 3D bottom-center (x, y, z) metres
+    ry: float = 0.0
 
 
 def derive_stereo_annotation(obj: KittiObject, calib: StereoCalib,
@@ -141,7 +143,8 @@ def derive_stereo_annotation(obj: KittiObject, calib: StereoCalib,
     return StereoAnnotation(
         cls=cls_id, box_left=obj.box.astype(np.float32), box_right=box_r,
         dims=obj.dims, alpha=obj.alpha, kpt_u=kpt_u, kpt_type=kpt_type,
-        kpt_visible=kpt_visible, border_u=border, ignore=ignore)
+        kpt_visible=kpt_visible, border_u=border, ignore=ignore,
+        location=obj.location.astype(np.float32), ry=obj.ry)
 
 
 def annotations_for_frame(objs: Sequence[KittiObject], calib: StereoCalib,
@@ -162,35 +165,34 @@ def annotations_for_frame(objs: Sequence[KittiObject], calib: StereoCalib,
 
 def pack_ground_truth(annos: Sequence[StereoAnnotation], max_gt: int,
                       scale: float = 1.0):
-    """Pad/scale annotations into numpy arrays matching
-    ``train.targets.GroundTruth`` field order (use ``GroundTruth(*arrays)``).
-    Ignore regions are dropped here (a future refinement can mask them in
-    target assignment)."""
-    keep = [a for a in annos if not a.ignore][:max_gt]
-    g = max_gt
-    left = np.zeros((g, 4), np.float32)
-    right = np.zeros((g, 4), np.float32)
-    cls = np.zeros((g,), np.int32)
-    dims = np.zeros((g, 3), np.float32)
-    alpha = np.zeros((g,), np.float32)
-    kpt_u = np.zeros((g,), np.float32)
-    kpt_type = np.zeros((g,), np.int32)
-    kpt_vis = np.zeros((g,), bool)
-    border = np.zeros((g, 2), np.float32)
-    valid = np.zeros((g,), bool)
-    for i, a in enumerate(keep):
-        left[i] = a.box_left * scale
-        right[i] = a.box_right * scale
-        cls[i] = a.cls
-        dims[i] = a.dims
-        alpha[i] = a.alpha
-        kpt_u[i] = a.kpt_u * scale
-        kpt_type[i] = a.kpt_type
-        kpt_vis[i] = a.kpt_visible
-        border[i] = a.border_u * scale
-        valid[i] = True
-    return (left, right, cls, dims, alpha, kpt_u, kpt_type, kpt_vis, border,
-            valid)
+    """Pad/scale annotations into a numpy-leaved
+    :class:`~stereo_rcnn_tpu.train.targets.GroundTruth`.
+
+    Real objects come first (``valid=True``); ignore regions (DontCare /
+    unlabeled-vehicle types) fill remaining slots with ``ignore=True`` so
+    target assignment can exclude them from negative sampling (reference
+    ``lib/datasets/kitti.py`` DontCare semantics).  3D location/ry ride
+    along in METRIC units (only image-plane fields are scaled)."""
+    from stereo_rcnn_tpu.train.targets import zeros_ground_truth
+    real = [a for a in annos if not a.ignore][:max_gt]
+    ign = [a for a in annos if a.ignore][:max_gt - len(real)]
+    gt = zeros_ground_truth(max_gt)
+    for i, a in enumerate(real + ign):
+        gt.left[i] = a.box_left * scale
+        gt.right[i] = a.box_right * scale
+        gt.cls[i] = a.cls
+        gt.dims[i] = a.dims
+        gt.alpha[i] = a.alpha
+        gt.kpt_u[i] = a.kpt_u * scale
+        gt.kpt_type[i] = a.kpt_type
+        gt.kpt_visible[i] = a.kpt_visible
+        gt.border_u[i] = a.border_u * scale
+        gt.valid[i] = not a.ignore
+        if a.location is not None:
+            gt.location[i] = a.location
+        gt.ry[i] = a.ry
+        gt.ignore[i] = a.ignore
+    return gt
 
 
 class KittiDataset:

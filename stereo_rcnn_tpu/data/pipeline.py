@@ -13,14 +13,30 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, NamedTuple, Optional, Sequence
 
+import jax
 import numpy as np
 
 from stereo_rcnn_tpu.config import Config
 from stereo_rcnn_tpu.data.kitti import KittiDataset, pack_ground_truth
+from stereo_rcnn_tpu.geometry.calib import StereoCalib
 from stereo_rcnn_tpu.train.targets import GroundTruth
 from stereo_rcnn_tpu.utils.host_preproc import resize_subtract_pad
+
+
+class PipelineBatch(NamedTuple):
+    """One host-side batch.  The last batch of an epoch may be PADDED by
+    repeating its final frame: ``n_valid`` <= B gives the real frame count
+    (consumers must not score the pad replicas — the reference DataLoader
+    simply yields a short batch, which fixed TPU shapes cannot)."""
+
+    images_left: np.ndarray    # [B, H, W, 3]
+    images_right: np.ndarray   # [B, H, W, 3]
+    gt: GroundTruth            # leaves [B, G, ...]
+    scales: np.ndarray         # [B] image resize factor
+    calib: StereoCalib         # leaves [B, ...] — WORKING-resolution calib
+    n_valid: int               # real (non-pad) frames in this batch
 
 
 def load_image(path: str) -> np.ndarray:
@@ -69,35 +85,49 @@ class KittiPipeline:
         out_r = resize_subtract_pad(img_r, th, tw, scale, means)
         annos, calib = self.ds.load_annotation(idx, float(sw))
         gt = pack_ground_truth(annos, cfg.train.max_gt_boxes, scale=scale)
-        return out_l, out_r, gt, scale
+        # Working-resolution calibration rides with the example (real KITTI
+        # calib varies per frame; baking one frame's calib into the jit
+        # closure would skew every other frame's 3D solve).
+        calib_s = jax.tree.map(np.asarray, calib.scale(scale))
+        return out_l, out_r, gt, scale, calib_s
 
     def _epoch_indices(self):
+        """[n_batches, B] index array + per-batch valid counts.  The ragged
+        tail is PADDED by repeating the last frame (static shapes) and its
+        true length reported via ``n_valid``."""
         idx = np.arange(len(self.ds))
         if self.shuffle:
             self.rng.shuffle(idx)
-        # Drop ragged tail: shapes must be static.
-        n = (len(idx) // self.batch_size) * self.batch_size
-        return idx[:n].reshape(-1, self.batch_size)
+        bs = self.batch_size
+        n_full = len(idx) // bs
+        tail = len(idx) - n_full * bs
+        counts = [bs] * n_full
+        if tail:
+            idx = np.concatenate([idx, np.repeat(idx[-1], bs - tail)])
+            counts.append(tail)
+        return idx.reshape(-1, bs), counts
 
-    def _make_batch(self, indices: Sequence[int]):
+    def _make_batch(self, indices: Sequence[int], n_valid: int):
         ex = [self._load_example(int(i)) for i in indices]
         imgs_l = np.stack([e[0] for e in ex])
         imgs_r = np.stack([e[1] for e in ex])
         gt = GroundTruth(*[np.stack([e[2][i] for e in ex])
-                           for i in range(10)])
+                           for i in range(len(GroundTruth._fields))])
         scales = np.asarray([e[3] for e in ex], np.float32)
-        return imgs_l, imgs_r, gt, scales
+        calib = jax.tree.map(lambda *xs: np.stack(xs),
+                             *[e[4] for e in ex])
+        return PipelineBatch(imgs_l, imgs_r, gt, scales, calib, n_valid)
 
-    def __iter__(self) -> Iterator:
+    def __iter__(self) -> Iterator[PipelineBatch]:
         """Background-threaded prefetching iterator over one epoch."""
-        batches = self._epoch_indices()
+        batches, counts = self._epoch_indices()
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def worker():
             try:
-                for b in batches:
-                    q.put(self._make_batch(b))
+                for b, n in zip(batches, counts):
+                    q.put(self._make_batch(b, n))
             finally:
                 q.put(sentinel)
 
@@ -110,4 +140,5 @@ class KittiPipeline:
             yield item
 
     def steps_per_epoch(self) -> int:
-        return len(self.ds) // self.batch_size
+        """Batches per epoch (including a padded tail batch, if any)."""
+        return -(-len(self.ds) // self.batch_size)

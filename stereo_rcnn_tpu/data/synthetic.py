@@ -121,7 +121,8 @@ def synthetic_batch(cfg: Config, batch: int, seed: int = 0,
         imgs_l.append(il - means)
         imgs_r.append(ir - means)
         gts.append(gt_arrays)
-    gt = GroundTruth(*[np.stack([g[i] for g in gts]) for i in range(10)])
+    gt = GroundTruth(*[np.stack([g[i] for g in gts])
+                       for i in range(len(GroundTruth._fields))])
     return (np.stack(imgs_l), np.stack(imgs_r), gt, calib_s)
 
 

@@ -1,5 +1,7 @@
 from stereo_rcnn_tpu.evalkit.kitti_eval import (DIFFICULTIES, FrameObjects,
-                                                evaluate, read_result_file,
+                                                evaluate,
+                                                frame_objects_from_labels,
+                                                read_result_file,
                                                 write_result_file)
 from stereo_rcnn_tpu.evalkit.rotate_iou import (bev_corners, iou_3d,
                                                 rotated_iou_bev)

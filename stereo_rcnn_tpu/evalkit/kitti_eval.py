@@ -2,17 +2,27 @@
 
 The reference writes KITTI-format result .txt files and relies on the
 EXTERNAL C++ devkit for AP (SURVEY.md §3.3); this module vendors the
-evaluation so the framework is self-contained: difficulty gating (Easy /
-Moderate / Hard on min-height / occlusion / truncation), greedy score-sorted
-matching with ignore handling, and 40-point (default, devkit-2017 style) or
-11-point interpolated AP.
+evaluation so the framework is self-contained.  Devkit semantics
+implemented (kitti devkit ``evaluate_object.cpp`` rules):
+
+  * difficulty gating (Easy/Moderate/Hard via min 2D height, max occlusion,
+    max truncation) — gts failing the gate are IGNORED, not removed;
+  * neighbor-class ignoring: for the Car class, Van gts are ignored at
+    match time (a detection matching one is neither TP nor FP);
+  * DontCare regions: unmatched detections whose 2D intersection-over-
+    detection-area with a DontCare region exceeds the threshold are
+    ignored, not FPs;
+  * small unmatched detections (2D height below the difficulty's min) are
+    ignored, not FPs;
+  * 40-point (devkit-2017, skips recall 0) or 11-point (paper-era,
+    includes recall 0) interpolated AP.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -26,13 +36,27 @@ _DIFF_GATES = {"easy": (40.0, 0, 0.15), "moderate": (25.0, 1, 0.30),
 
 @dataclasses.dataclass
 class FrameObjects:
-    """Ground truth or detections for one frame (Car class)."""
+    """Ground truth or detections for one frame (Car class).
+
+    For ground truth, ``cls_ignored`` marks neighbor-class objects (Van for
+    Car) that are ignored at match time, and ``dontcare`` holds DontCare
+    2D regions.  Both default to empty for detections.
+    """
 
     box2d: np.ndarray        # [N, 4] left-image xyxy
     box3d: np.ndarray        # [N, 7] (x, y, z, h, w, l, ry)
     score: np.ndarray        # [N] (ones for gt)
     occlusion: np.ndarray    # [N] int (gt only; zeros for dets)
     truncation: np.ndarray   # [N] (gt only)
+    cls_ignored: Optional[np.ndarray] = None   # [N] bool (gt only)
+    dontcare: Optional[np.ndarray] = None      # [M, 4] 2D regions (gt only)
+
+    def __post_init__(self):
+        n = len(self.score)
+        if self.cls_ignored is None:
+            self.cls_ignored = np.zeros(n, bool)
+        if self.dontcare is None:
+            self.dontcare = np.zeros((0, 4))
 
     @staticmethod
     def empty() -> "FrameObjects":
@@ -43,56 +67,99 @@ class FrameObjects:
 
 def _gt_classification(gt: FrameObjects, difficulty: str):
     """valid / ignored split per devkit rules: an object harder than the
-    current difficulty is IGNORED (matches don't count as TP or FP)."""
+    current difficulty — or of a neighboring class (Van for Car) — is
+    IGNORED (matches count as neither TP nor FP)."""
     min_h, max_occ, max_trunc = _DIFF_GATES[difficulty]
     h = gt.box2d[:, 3] - gt.box2d[:, 1]
     valid = (h >= min_h) & (gt.occlusion <= max_occ) & \
-        (gt.truncation <= max_trunc)
+        (gt.truncation <= max_trunc) & ~gt.cls_ignored
     ignored = ~valid
     return valid, ignored
 
 
-def _match_frame(gt: FrameObjects, det: FrameObjects, iou_fn, thresh: float,
+def _box2d_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[Na, 4] x [Nb, 4] -> [Na, Nb] axis-aligned IoU."""
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
+    area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
+    return inter / np.maximum(area_a + area_b - inter, 1e-9)
+
+
+def _dontcare_fraction(det_box2d: np.ndarray,
+                       dontcare: np.ndarray) -> np.ndarray:
+    """Max intersection-over-DETECTION-area vs the DontCare regions."""
+    if len(dontcare) == 0 or len(det_box2d) == 0:
+        return np.zeros(len(det_box2d))
+    lt = np.maximum(det_box2d[:, None, :2], dontcare[None, :, :2])
+    rb = np.minimum(det_box2d[:, None, 2:], dontcare[None, :, 2:])
+    wh = np.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    area = np.maximum((det_box2d[:, 2] - det_box2d[:, 0]) *
+                      (det_box2d[:, 3] - det_box2d[:, 1]), 1e-9)[:, None]
+    return (inter / area).max(axis=1)
+
+
+def _match_frame(gt: FrameObjects, det: FrameObjects, iou, thresh: float,
                  difficulty: str):
     """Returns (det_tp, det_ignored, n_valid_gt) for one frame.
 
-    Greedy: detections in descending score claim their best unmatched gt.
+    ``iou``: [Ndet, Ngt] matrix in the metric being evaluated.  Greedy:
+    detections in descending score claim their best unmatched VALID gt
+    first; failing that, an IGNORED gt; failing that, DontCare regions and
+    the small-detection rule decide FP vs ignored.
     """
     valid, ignored = _gt_classification(gt, difficulty)
     n_det = len(det.score)
     det_tp = np.zeros(n_det, bool)
     det_ign = np.zeros(n_det, bool)
+    n_valid = int(valid.sum())
     if n_det == 0:
-        return det_tp, det_ign, int(valid.sum())
-    if len(gt.score) == 0:
-        return det_tp, det_ign, 0
+        return det_tp, det_ign, n_valid
 
-    iou = iou_fn(det.box3d, gt.box3d)            # [Ndet, Ngt]
+    min_h = _DIFF_GATES[difficulty][0]
+    det_h = det.box2d[:, 3] - det.box2d[:, 1]
+    dc_frac = _dontcare_fraction(det.box2d, gt.dontcare)
+
     order = np.argsort(-det.score)
     taken = np.zeros(len(gt.score), bool)
     for d in order:
-        cand = iou[d] >= thresh
-        cand &= ~taken
-        if not cand.any():
-            continue
-        g = int(np.argmax(np.where(cand, iou[d], -1.0)))
-        taken[g] = True
-        if valid[g]:
-            det_tp[d] = True
-        else:
-            det_ign[d] = True                    # matched an ignored gt
-    return det_tp, det_ign, int(valid.sum())
+        matched = False
+        if len(gt.score):
+            cand = (iou[d] >= thresh) & ~taken
+            if (cand & valid).any():
+                g = int(np.argmax(np.where(cand & valid, iou[d], -1.0)))
+                taken[g] = True
+                det_tp[d] = True
+                matched = True
+            elif (cand & ignored).any():
+                g = int(np.argmax(np.where(cand & ignored, iou[d], -1.0)))
+                taken[g] = True
+                det_ign[d] = True
+                matched = True
+        if not matched:
+            # Unmatched: DontCare overlap or sub-evaluable size -> ignored.
+            if dc_frac[d] >= thresh or det_h[d] < min_h:
+                det_ign[d] = True
+    return det_tp, det_ign, n_valid
 
 
 def _average_precision(recalls: np.ndarray, precisions: np.ndarray,
                        n_points: int = 40) -> float:
-    """Interpolated AP (devkit: R40 sampling, skipping recall 0)."""
+    """Interpolated AP.  R40 (devkit 2017+) samples 40 points skipping
+    recall 0; R11 (paper-era devkit) samples 11 points INCLUDING recall 0
+    (where max precision over recall>=0 is the global max)."""
+    if n_points == 11:
+        samples = np.linspace(0.0, 1.0, 11)
+    else:
+        samples = np.linspace(0.0, 1.0, n_points + 1)[1:]
     ap = 0.0
-    samples = np.linspace(0.0, 1.0, n_points + 1)[1:]
     for r in samples:
         mask = recalls >= r - 1e-9
         ap += float(precisions[mask].max()) if mask.any() else 0.0
-    return ap / n_points * 100.0
+    return ap / len(samples) * 100.0
 
 
 def evaluate(gts: Sequence[FrameObjects], dets: Sequence[FrameObjects],
@@ -101,30 +168,29 @@ def evaluate(gts: Sequence[FrameObjects], dets: Sequence[FrameObjects],
     """AP per difficulty over a list of frames.
 
     metric: "3d" (volume IoU), "bev" (rotated BEV IoU), or "2d" (left-image
-    axis-aligned IoU).
+    axis-aligned IoU).  ``n_points``: 40 (devkit 2017+) or 11 (paper-era —
+    use for comparisons against the paper's published tables).
     """
-    if metric == "3d":
-        iou_fn = iou_3d
-    elif metric == "bev":
-        def iou_fn(a, b):
-            return rotated_iou_bev(a[:, [0, 2, 4, 5, 6]],
-                                   b[:, [0, 2, 4, 5, 6]])
-    elif metric == "2d":
-        def iou_fn(a, b):                         # uses box2d via closure
-            raise NotImplementedError
-    else:
+    if metric not in ("3d", "bev", "2d"):
         raise ValueError(metric)
+
+    def iou_matrix(det: FrameObjects, gt: FrameObjects) -> np.ndarray:
+        if len(det.score) == 0 or len(gt.score) == 0:
+            return np.zeros((len(det.score), len(gt.score)))
+        if metric == "3d":
+            return iou_3d(det.box3d, gt.box3d)
+        if metric == "bev":
+            return rotated_iou_bev(det.box3d[:, [0, 2, 4, 5, 6]],
+                                   gt.box3d[:, [0, 2, 4, 5, 6]])
+        return _box2d_iou(det.box2d, gt.box2d)
 
     results = {}
     for diff in DIFFICULTIES:
         rows = []            # (score, is_tp, is_ignored)
         n_gt_total = 0
         for gt, det in zip(gts, dets):
-            if metric == "2d":
-                tp, ign, n_valid = _match_frame_2d(gt, det, iou_thresh, diff)
-            else:
-                tp, ign, n_valid = _match_frame(gt, det, iou_fn, iou_thresh,
-                                                diff)
+            tp, ign, n_valid = _match_frame(gt, det, iou_matrix(det, gt),
+                                            iou_thresh, diff)
             n_gt_total += n_valid
             for s, t, i in zip(det.score, tp, ign):
                 rows.append((s, t, i))
@@ -140,35 +206,36 @@ def evaluate(gts: Sequence[FrameObjects], dets: Sequence[FrameObjects],
     return results
 
 
-def _match_frame_2d(gt: FrameObjects, det: FrameObjects, thresh: float,
-                    difficulty: str):
-    valid, ignored = _gt_classification(gt, difficulty)
-    n_det = len(det.score)
-    det_tp = np.zeros(n_det, bool)
-    det_ign = np.zeros(n_det, bool)
-    if n_det == 0:
-        return det_tp, det_ign, int(valid.sum())
-    if len(gt.score) == 0:
-        return det_tp, det_ign, 0
-    a, b = det.box2d, gt.box2d
-    lt = np.maximum(a[:, None, :2], b[None, :, :2])
-    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh = np.maximum(rb - lt, 0)
-    inter = wh[..., 0] * wh[..., 1]
-    area_a = ((a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1]))[:, None]
-    area_b = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]))[None, :]
-    iou = inter / np.maximum(area_a + area_b - inter, 1e-9)
-    order = np.argsort(-det.score)
-    taken = np.zeros(len(gt.score), bool)
-    for d in order:
-        cand = (iou[d] >= thresh) & ~taken
-        if not cand.any():
-            continue
-        g = int(np.argmax(np.where(cand, iou[d], -1.0)))
-        taken[g] = True
-        det_tp[d] = valid[g]
-        det_ign[d] = not valid[g]
-    return det_tp, det_ign, int(valid.sum())
+def frame_objects_from_labels(objs, evaluated_class: str = "Car",
+                              neighbor_classes: Sequence[str] = ("Van",)
+                              ) -> FrameObjects:
+    """Build a gt FrameObjects from parsed :class:`KittiObject`s with devkit
+    ignore semantics: ``evaluated_class`` objects are scored,
+    ``neighbor_classes`` objects are match-time-ignored, DontCare boxes
+    become ignore regions, everything else is dropped."""
+    main, neigh, dontcare = [], [], []
+    for o in objs:
+        if o.type == evaluated_class:
+            main.append(o)
+        elif o.type in neighbor_classes:
+            neigh.append(o)
+        elif o.type == "DontCare":
+            dontcare.append(o.box)
+    sel = main + neigh
+    n = len(sel)
+    return FrameObjects(
+        box2d=np.stack([o.box for o in sel]).reshape(n, 4)
+        if sel else np.zeros((0, 4)),
+        box3d=np.asarray([[*o.location, *o.dims, o.ry]
+                          for o in sel]).reshape(n, 7),
+        score=np.ones(n),
+        occlusion=np.asarray([o.occlusion for o in sel], int),
+        truncation=np.asarray([o.truncation for o in sel]),
+        cls_ignored=np.asarray([False] * len(main) + [True] * len(neigh),
+                               bool),
+        dontcare=np.stack(dontcare).reshape(len(dontcare), 4)
+        if dontcare else np.zeros((0, 4)),
+    )
 
 
 # ---------------------------------------------------------------------------

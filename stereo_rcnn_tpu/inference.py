@@ -6,6 +6,10 @@ dense alignment -> z-fixed re-solve.  The reference does the last three in
 a host Python loop per detection; here they are vmapped and fused into the
 same XLA program as the network, so a batch of stereo pairs in means a
 batch of 3D boxes out with no host round-trips.
+
+Calibration is a RUNTIME argument batched per image (real KITTI calib
+varies per frame — the reference reads it per frame in test_net.py), not a
+compile-time constant.
 """
 
 from __future__ import annotations
@@ -33,48 +37,73 @@ class Detections3D(NamedTuple):
     residual: jnp.ndarray   # [B, D] solver residual (px)
 
 
-def make_full_pipeline(cfg: Config, calib: StereoCalib,
-                       im_h: int | None = None, im_w: int | None = None):
-    """Returns jittable ``fn(params, left, right) -> Detections3D``.
+def broadcast_calib(calib: StereoCalib, batch: int) -> StereoCalib:
+    """Tile a single working-resolution calib to a [B]-leaved batch."""
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (batch,) + jnp.shape(x)),
+        calib)
 
-    ``calib`` is the working-resolution calibration (already scaled to the
-    padded image size).
+
+def solve_and_align(det: Detections, images_left: jnp.ndarray,
+                    images_right: jnp.ndarray, calib_batch: StereoCalib,
+                    cfg: Config) -> Detections3D:
+    """Batched 3D solve + dense alignment + z-fixed re-solve.
+
+    ``calib_batch`` leaves have leading dim [B] (per-image calibration).
+    vmapped over the batch so each image uses its own calib.
     """
-    infer = make_inference_fn(cfg, im_h, im_w)
     sc = cfg.solver
+    gray_l = images_left.mean(-1)
+    gray_r = images_right.mean(-1)
 
-    def fn(params, images_left, images_right) -> Detections3D:
-        det = infer(params, images_left, images_right)
-        gray_l = images_left.mean(-1)
-        gray_r = images_right.mean(-1)
-
-        # The GN solver is natively batched over a flat [B*D] axis; the
-        # dense alignment is natively batched over [B, D].
-        b, d = det.valid.shape
-        flat = jax.tree.map(lambda x: x.reshape(b * d, *x.shape[2:]), det)
-
-        obs = observations_from_detection(flat.box_left, flat.box_right,
-                                          flat.kpt_u)
+    def one_image(det_i: Detections, gl, gr, calib_i: StereoCalib):
+        obs = observations_from_detection(det_i.box_left, det_i.box_right,
+                                          det_i.kpt_u)
         # Down-weight the keypoint constraint when its confidence is low
         # (reference drops the constraint for invisible keypoints).
         w = jnp.ones(obs.shape)
-        w = w.at[:, 6].set(jnp.where(flat.kpt_prob > 0.2, 1.0, 0.0))
-        res = solve_batch(obs, flat.dims, flat.alpha, flat.kpt_type, calib,
-                          obs_weights=w, iters=sc.gn_iters,
+        w = w.at[:, 6].set(jnp.where(det_i.kpt_prob > 0.2, 1.0, 0.0))
+        res = solve_batch(obs, det_i.dims, det_i.alpha, det_i.kpt_type,
+                          calib_i, obs_weights=w, iters=sc.gn_iters,
                           damping=sc.gn_damping)
-        ar = align_batch(gray_l, gray_r, det.box_left, det.border_u,
-                         res.position.reshape(b, d, 3),
-                         res.theta.reshape(b, d), det.dims, calib, sc,
-                         det.valid)
-        res2 = solve_batch(obs, flat.dims, flat.alpha, flat.kpt_type, calib,
-                           obs_weights=w, iters=sc.gn_iters,
-                           damping=sc.gn_damping,
-                           fixed_z=ar.z.reshape(b * d))
-        return Detections3D(
-            det=det,
-            position=res2.position.reshape(b, d, 3),
-            ry=res2.theta.reshape(b, d),
-            z_refined=ar.z.reshape(b, d),
-            residual=res2.residual.reshape(b, d))
+        ar = align_batch(gl, gr, det_i.box_left, det_i.border_u,
+                         res.position, res.theta, det_i.dims, calib_i, sc,
+                         det_i.valid)
+        res2 = solve_batch(obs, det_i.dims, det_i.alpha, det_i.kpt_type,
+                           calib_i, obs_weights=w, iters=sc.gn_iters,
+                           damping=sc.gn_damping, fixed_z=ar.z)
+        return res2.position, res2.theta, ar.z, res2.residual
+
+    pos, ry, z_ref, resid = jax.vmap(one_image)(det, gray_l, gray_r,
+                                                calib_batch)
+    return Detections3D(det=det, position=pos, ry=ry, z_refined=z_ref,
+                        residual=resid)
+
+
+def make_full_pipeline(cfg: Config, calib: StereoCalib | None = None,
+                       im_h: int | None = None, im_w: int | None = None):
+    """Returns the jittable end-to-end pipeline.
+
+    With ``calib`` given (a single working-resolution calibration):
+    ``fn(params, left, right) -> Detections3D`` — every image uses that
+    calib (demo/bench path).  Without it: ``fn(params, left, right,
+    calib_batch) -> Detections3D`` with a [B]-leaved per-image calib
+    pytree (eval path; build with ``jax.tree.map(jnp.stack, calibs)`` or
+    :func:`broadcast_calib`).
+    """
+    infer = make_inference_fn(cfg, im_h, im_w)
+
+    def fn_calib(params, images_left, images_right,
+                 calib_batch: StereoCalib) -> Detections3D:
+        det = infer(params, images_left, images_right)
+        return solve_and_align(det, images_left, images_right, calib_batch,
+                               cfg)
+
+    if calib is None:
+        return fn_calib
+
+    def fn(params, images_left, images_right) -> Detections3D:
+        cb = broadcast_calib(calib, images_left.shape[0])
+        return fn_calib(params, images_left, images_right, cb)
 
     return fn

@@ -30,7 +30,16 @@ from stereo_rcnn_tpu.geometry.boxes import (encode_stereo_boxes, pairwise_iou,
 
 
 class GroundTruth(NamedTuple):
-    """Per-image padded ground truth (leading dims [..., G])."""
+    """Per-image padded ground truth (leading dims [..., G]).
+
+    Slots are one of three kinds:
+      * real objects: ``valid=True, ignore=False`` — drive all losses;
+      * ignore regions (DontCare/Van/Truck for the Car class — reference
+        ``lib/datasets/kitti.py`` ignore handling): ``valid=False,
+        ignore=True`` — anchors/rois overlapping them are EXCLUDED from
+        negative sampling (never mined as background);
+      * padding: ``valid=False, ignore=False`` — inert.
+    """
 
     left: jnp.ndarray        # [G, 4] left-image boxes
     right: jnp.ndarray       # [G, 4] right-image boxes
@@ -41,7 +50,30 @@ class GroundTruth(NamedTuple):
     kpt_type: jnp.ndarray    # [G] int corner index 0..3
     kpt_visible: jnp.ndarray # [G] bool — kpt inside the left box
     border_u: jnp.ndarray    # [G, 2] visible-boundary u (left, right)
-    valid: jnp.ndarray       # [G] bool — padded slots are False
+    valid: jnp.ndarray       # [G] bool — padded/ignore slots are False
+    location: jnp.ndarray    # [G, 3] 3D bottom-center (x, y, z), metres
+    ry: jnp.ndarray          # [G] yaw around camera Y
+    ignore: jnp.ndarray      # [G] bool — slot is an ignore REGION
+
+
+def zeros_ground_truth(g: int) -> GroundTruth:
+    """All-padding GroundTruth of capacity ``g`` (numpy leaves)."""
+    import numpy as np
+    return GroundTruth(
+        left=np.zeros((g, 4), np.float32),
+        right=np.zeros((g, 4), np.float32),
+        cls=np.zeros((g,), np.int32),
+        dims=np.zeros((g, 3), np.float32),
+        alpha=np.zeros((g,), np.float32),
+        kpt_u=np.zeros((g,), np.float32),
+        kpt_type=np.zeros((g,), np.int32),
+        kpt_visible=np.zeros((g,), bool),
+        border_u=np.zeros((g, 2), np.float32),
+        valid=np.zeros((g,), bool),
+        location=np.zeros((g, 3), np.float32),
+        ry=np.zeros((g,), np.float32),
+        ignore=np.zeros((g,), bool),
+    )
 
 
 class AnchorTargets(NamedTuple):
@@ -61,28 +93,55 @@ def _sample_topk(eligible: jnp.ndarray, k: int, rng: jax.Array) -> jnp.ndarray:
     return eligible & (priority >= kth)
 
 
+def _ignore_fraction(boxes: jnp.ndarray, gt: GroundTruth) -> jnp.ndarray:
+    """Max intersection-over-box-area of each box vs the ignore regions.
+
+    Reference semantics (``lib/datasets/kitti.py`` DontCare handling):
+    a candidate mostly inside an unlabeled-vehicle/DontCare region must not
+    be mined as a background negative."""
+    ign = gt.ignore
+    lt = jnp.maximum(boxes[:, None, :2], gt.left[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:], gt.left[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]                        # [A, G]
+    area = jnp.maximum((boxes[:, 2] - boxes[:, 0]) *
+                       (boxes[:, 3] - boxes[:, 1]), 1e-9)[:, None]
+    frac = jnp.where(ign[None, :], inter / area, 0.0)
+    return frac.max(axis=1)
+
+
 def anchor_targets(anchors: jnp.ndarray, gt: GroundTruth, cfg: RPNConfig,
                    im_h: float, im_w: float, rng: jax.Array) -> AnchorTargets:
     """RPN targets for one image (vmap over batch)."""
     a = anchors.shape[0]
-    inside = ((anchors[:, 0] >= -8) & (anchors[:, 1] >= -8) &
-              (anchors[:, 2] <= im_w + 8) & (anchors[:, 3] <= im_h + 8))
+    # allowed_border=0: only anchors fully inside the image participate
+    # (reference _AnchorTargetLayer ``self._allowed_border = 0``).
+    ab = cfg.allowed_border
+    inside = ((anchors[:, 0] >= -ab) & (anchors[:, 1] >= -ab) &
+              (anchors[:, 2] <= im_w + ab) & (anchors[:, 3] <= im_h + ab))
 
     gt_union = union_box(gt.left, gt.right)
     iou = pairwise_iou(anchors, gt_union)                  # [A, G]
-    iou = jnp.where(gt.valid[None, :], iou, 0.0)
+    # Only inside anchors participate (the reference subsets to inside
+    # anchors BEFORE computing overlaps, so the best-anchor guarantee is
+    # taken over inside anchors only).
+    iou = jnp.where(gt.valid[None, :] & inside[:, None], iou, 0.0)
     max_iou = iou.max(axis=1)
     argmax_gt = iou.argmax(axis=1)
 
     labels = jnp.full((a,), -1, jnp.int32)
     labels = jnp.where(max_iou < cfg.negative_overlap, 0, labels)
+    # Background anchors sitting mostly inside an ignore region go back to
+    # "don't care" so they are never sampled as negatives.
+    in_ignore = _ignore_fraction(anchors, gt) > cfg.ignore_overlap
+    labels = jnp.where((labels == 0) & in_ignore, -1, labels)
     labels = jnp.where(max_iou >= cfg.positive_overlap, 1, labels)
-    # Each gt's best anchor is positive even below threshold (reference
-    # semantics: guarantees every gt gets at least one anchor).
+    # Each gt's best anchor is positive even below threshold —
+    # UNCONDITIONALLY, as in the reference (labels[gt_argmax_overlaps] = 1).
     best_per_gt = jnp.where(gt.valid, iou.argmax(axis=0), -1)  # [G]
     is_best = jnp.zeros((a,), bool).at[best_per_gt].set(
         gt.valid, mode="drop")
-    labels = jnp.where(is_best & (max_iou > 0.1), 1, labels)
+    labels = jnp.where(is_best, 1, labels)
     labels = jnp.where(inside, labels, -1)
 
     # Subsample: up to fg_fraction*batch positives, rest negatives.
@@ -147,8 +206,11 @@ def proposal_targets(prop_left: jnp.ndarray, prop_right: jnp.ndarray,
     argmax_gt = iou.argmax(axis=1)
 
     is_fg = max_iou >= cfg.fg_thresh
+    # Candidates mostly inside an ignore region are excluded from the
+    # background pool (reference DontCare semantics).
+    in_ignore = _ignore_fraction(cand_left, gt) > cfg.ignore_overlap
     is_bg = (max_iou < cfg.bg_thresh_hi) & (max_iou >= cfg.bg_thresh_lo) & \
-        cand_valid
+        cand_valid & ~in_ignore
 
     rng_fg, rng_bg = jax.random.split(rng)
     n_fg_max = int(s * cfg.fg_fraction)

@@ -53,14 +53,38 @@ def test_pipeline_batches(kitti_root):
                          image_ext=".npy")
     batches = list(pipe)
     assert len(batches) == 2
-    il, ir, gt, scales = batches[0]
+    pb = batches[0]
+    il, gt = pb.images_left, pb.gt
     assert il.shape == (2, cfg.data.image_h, cfg.data.image_w, 3)
     assert il.dtype == np.float32
     assert gt.left.shape == (2, cfg.train.max_gt_boxes, 4)
+    assert pb.n_valid == 2
+    # Per-frame calib is batched and scaled to working resolution.
+    assert pb.calib.f.shape == (2,)
+    assert np.allclose(pb.calib.f, 721.5377 * pb.scales, rtol=1e-5)
     # Scaled gt boxes must lie inside the padded image.
     v = gt.valid
     assert (gt.left[v][:, 2] <= cfg.data.image_w + 1).all()
     assert (gt.left[v][:, 3] <= cfg.data.image_h + 1).all()
+    # 3D pose rides along in metric units.
+    assert np.abs(gt.location[v][:, 2]).max() > 5.0
+
+
+def test_pipeline_ragged_tail_padded(kitti_root):
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, kitti_root=kitti_root))
+    ds = KittiDataset(cfg.data)           # 4 frames
+    pipe = KittiPipeline(cfg, ds, batch_size=3, shuffle=False,
+                         image_ext=".npy")
+    batches = list(pipe)
+    assert len(batches) == 2 == pipe.steps_per_epoch()
+    assert batches[0].n_valid == 3
+    tail = batches[1]
+    assert tail.n_valid == 1
+    assert tail.images_left.shape[0] == 3   # static shape, padded
+    # Pad replicas repeat the final frame.
+    np.testing.assert_array_equal(tail.images_left[1], tail.images_left[0])
 
 
 def test_native_preproc_matches_numpy():

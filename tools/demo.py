@@ -37,6 +37,8 @@ def main():
     args = parse_args()
     if not args.synthetic and not (args.left and args.right and args.calib):
         sys.exit("error: provide --left/--right/--calib, or --synthetic")
+    from stereo_rcnn_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache("demo")
     from stereo_rcnn_tpu.config import Config, tiny_test_config
     from stereo_rcnn_tpu.geometry import (box3d_corners, default_kitti_calib,
                                           project)

@@ -1,8 +1,11 @@
 #!/usr/bin/env python
-"""End-to-end learning smoke: overfit a tiny from-scratch model on a few
-synthetic stereo scenes, then run full inference + 3D solve and score with
-the vendored KITTI evaluator.  Proves the whole loop train -> detect ->
-solve -> AP (SURVEY.md §4 golden-parity strategy, synthetic edition).
+"""End-to-end learning smoke: train a tiny from-scratch model on synthetic
+stereo scenes, then run full inference + 3D solve and score 2D / BEV / 3D
+AP with the vendored KITTI evaluator — on the TRAINING scenes (overfit
+check) and on HELD-OUT scenes (generalisation check).  Proves the whole
+loop train -> detect -> solve -> align -> AP (SURVEY.md §4 golden-parity
+strategy, synthetic edition; reference equivalence: test_net.py's full 3D
+result flow).
 
 Usage: python tools/smoke_e2e.py [--steps 400] [--scenes 4]
 """
@@ -19,6 +22,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _score(det_out, gt, n_scenes):
+    """Build (gts, dets) FrameObjects lists from padded pipeline output and
+    packed GroundTruth (which now carries 3D location/ry)."""
+    from stereo_rcnn_tpu.evalkit import FrameObjects
+
+    det = jax.device_get(det_out.det)
+    pos = np.asarray(det_out.position)
+    rys = np.asarray(det_out.ry)
+    gts, dets = [], []
+    for b in range(n_scenes):
+        v = np.asarray(det.valid[b])
+        sel = np.nonzero(v)[0]
+        dets.append(FrameObjects(
+            box2d=np.asarray(det.box_left[b])[sel],
+            box3d=np.concatenate(
+                [pos[b][sel], np.asarray(det.dims[b])[sel],
+                 rys[b][sel][:, None]], -1),
+            score=np.asarray(det.score[b])[sel],
+            occlusion=np.zeros(len(sel), int),
+            truncation=np.zeros(len(sel))))
+        gv = np.asarray(gt.valid[b])
+        gsel = np.nonzero(gv)[0]
+        gts.append(FrameObjects(
+            box2d=np.asarray(gt.left[b])[gsel],
+            box3d=np.concatenate(
+                [np.asarray(gt.location[b])[gsel],
+                 np.asarray(gt.dims[b])[gsel],
+                 np.asarray(gt.ry[b])[gsel][:, None]], -1),
+            score=np.ones(len(gsel)),
+            occlusion=np.zeros(len(gsel), int),
+            truncation=np.zeros(len(gsel))))
+    return gts, dets
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
@@ -31,11 +68,13 @@ def main():
         # Must override via config -- the axon sitecustomize force-sets
         # jax_platforms and ignores the env var.
         jax.config.update("jax_platforms", "cpu")
+    from stereo_rcnn_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(f"smoke_{args.platform}")
 
     from stereo_rcnn_tpu.config import tiny_test_config
     import dataclasses
     from stereo_rcnn_tpu.data.synthetic import synthetic_batch
-    from stereo_rcnn_tpu.evalkit import FrameObjects, evaluate
+    from stereo_rcnn_tpu.evalkit import evaluate
     from stereo_rcnn_tpu.inference import make_full_pipeline
     from stereo_rcnn_tpu.train import Batch, init_train_state, make_train_step
 
@@ -62,43 +101,30 @@ def main():
                   f"rcnn_box={float(metrics['rcnn_box']):.3f}", flush=True)
     print(f"trained {args.steps} steps in {time.time() - t0:.0f}s")
 
-    # Inference + 3D solve on the training scenes (overfit check).
+    # Inference + 3D solve on training AND held-out scenes.
     params = {"params": state.params["model"]}
     pipeline = jax.jit(make_full_pipeline(cfg, calib))
-    out = pipeline(params, batch.images_left, batch.images_right)
-    det = jax.device_get(out.det)
-    pos = np.asarray(out.position)
-    rys = np.asarray(out.ry)
+    results = {}
+    for name, seed in (("train", 0), ("heldout", 1)):
+        il_e, ir_e, gt_e, _ = synthetic_batch(cfg, batch=args.scenes,
+                                              seed=seed, n_objects=3)
+        out = pipeline(params, jnp.asarray(il_e), jnp.asarray(ir_e))
+        gts, dets = _score(out, gt_e, args.scenes)
+        n_det = sum(len(d.score) for d in dets)
+        n_gt = sum(len(g.score) for g in gts)
+        r2d = evaluate(gts, dets, metric="2d", iou_thresh=0.5)
+        rbev = evaluate(gts, dets, metric="bev", iou_thresh=0.5)
+        r3d = evaluate(gts, dets, metric="3d", iou_thresh=0.5)
+        results[name] = (r2d, rbev, r3d)
+        print(f"[{name}] detections: {n_det} (gt: {n_gt})")
+        for metric, r in (("2d", r2d), ("bev", rbev), ("3d", r3d)):
+            print(f"[{name}] AP_{metric}@0.5:",
+                  {k: round(v, 2) for k, v in r.items()})
 
-    gts, dets = [], []
-    for b in range(args.scenes):
-        v = np.asarray(det.valid[b])
-        sel = np.nonzero(v)[0]
-        dets.append(FrameObjects(
-            box2d=np.asarray(det.box_left[b])[sel],
-            box3d=np.concatenate(
-                [pos[b][sel], np.asarray(det.dims[b])[sel],
-                 rys[b][sel][:, None]], -1),
-            score=np.asarray(det.score[b])[sel],
-            occlusion=np.zeros(len(sel), int), truncation=np.zeros(len(sel))))
-        gv = np.asarray(gt.valid[b])
-        gsel = np.nonzero(gv)[0]
-        # Synthetic gt: recover 3D from projection-consistent fields — we
-        # stored dims/alpha; reconstruct location is not kept in GroundTruth,
-        # so evaluate 2D AP (left box) + report 3D diagnostics instead.
-        gts.append(FrameObjects(
-            box2d=np.asarray(gt.left[b])[gsel],
-            box3d=np.zeros((len(gsel), 7)),
-            score=np.ones(len(gsel)),
-            occlusion=np.zeros(len(gsel), int),
-            truncation=np.zeros(len(gsel))))
-
-    res2d = evaluate(gts, dets, metric="2d", iou_thresh=0.5)
-    n_det = sum(len(d.score) for d in dets)
-    n_gt = sum(len(g.score) for g in gts)
-    print(f"detections: {n_det} (gt: {n_gt})")
-    print("AP_2d@0.5:", {k: round(v, 2) for k, v in res2d.items()})
-    ok = max(res2d.values()) >= 60.0
+    # PASS: the model learned (overfit 2D) AND the geometric pipeline
+    # produces 3D boxes that score on scenes it never trained on.
+    ok = (max(results["train"][0].values()) >= 60.0 and
+          max(results["heldout"][2].values()) >= 20.0)
     print("SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

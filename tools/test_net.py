@@ -3,7 +3,10 @@
 result files, and compute AP_3d / AP_bev with the vendored evaluator.
 
 Behavioral reference: ``test_net.py`` (SURVEY.md §3.3) — but AP is computed
-in-process (the reference defers to the external C++ devkit).
+in-process (the reference defers to the external C++ devkit).  Devkit
+semantics: per-frame calibration is threaded through the jit as a batched
+runtime argument, Van gts are match-time ignored, DontCare regions absorb
+would-be FPs, and both R40 and paper-era R11 AP are reported.
 
 Usage:
   python tools/test_net.py --kitti-root data/kitti/object \
@@ -36,13 +39,14 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from stereo_rcnn_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache("eval")
     from stereo_rcnn_tpu.config import Config, tiny_test_config
     from stereo_rcnn_tpu.data import KittiDataset, KittiPipeline
     from stereo_rcnn_tpu.data.kitti import parse_label_file
     from stereo_rcnn_tpu.evalkit import (FrameObjects, evaluate,
+                                         frame_objects_from_labels,
                                          write_result_file)
-    from stereo_rcnn_tpu.geometry import ry_from_alpha
-    from stereo_rcnn_tpu.geometry.calib import read_kitti_calib
     from stereo_rcnn_tpu.inference import make_full_pipeline
     from stereo_rcnn_tpu.models import init_params
     from stereo_rcnn_tpu.train import init_train_state
@@ -56,10 +60,6 @@ def main():
         sys.exit(f"no data under {args.kitti_root}")
     print(f"{len(ds)} frames")
 
-    # Calibration at working resolution (per-frame scale applied below; we
-    # use the first frame's calib scaled by the common resize factor).
-    _, calib0 = ds.load_annotation(0, 1242.0)
-
     params = None
     if args.ckpt_dir:
         state = init_train_state(cfg, jax.random.PRNGKey(0))
@@ -72,22 +72,25 @@ def main():
 
     pipe = KittiPipeline(cfg, ds, args.batch, shuffle=False,
                          image_ext=args.image_ext)
-    sample_scale = min(cfg.data.image_h / 375.0, cfg.data.image_w / 1242.0)
-    pipeline = jax.jit(make_full_pipeline(cfg, calib0.scale(sample_scale)))
+    # Calib is a BATCHED RUNTIME argument: each frame's own calibration
+    # (scaled to working resolution by the pipeline) flows through the jit.
+    pipeline = jax.jit(make_full_pipeline(cfg))
 
     os.makedirs(args.out, exist_ok=True)
     gts, dets = [], []
     frame = 0
     t0 = time.time()
-    for il, ir, gt, scales in pipe:
+    for pb in pipe:
         out = jax.block_until_ready(
-            pipeline(params, jnp.asarray(il), jnp.asarray(ir)))
+            pipeline(params, jnp.asarray(pb.images_left),
+                     jnp.asarray(pb.images_right),
+                     jax.tree.map(jnp.asarray, pb.calib)))
         det = jax.device_get(out.det)
         pos = np.asarray(out.position)
         ry = np.asarray(out.ry)
-        for b in range(il.shape[0]):
+        for b in range(pb.n_valid):         # pad replicas are not scored
             fid = ds.ids[frame]
-            scale = float(scales[b])
+            scale = float(pb.scales[b])
             valid = np.asarray(det.valid[b])
             n = int(valid.sum())
             sel = np.nonzero(valid)[0]
@@ -106,24 +109,18 @@ def main():
                 score=scores, occlusion=np.zeros(n, int),
                 truncation=np.zeros(n)))
             objs = parse_label_file(ds.paths(frame)["label"])
-            cars = [o for o in objs if o.type == "Car"]
-            gts.append(FrameObjects(
-                box2d=np.stack([o.box for o in cars]).reshape(-1, 4)
-                if cars else np.zeros((0, 4)),
-                box3d=np.asarray([[*o.location, *o.dims, o.ry]
-                                  for o in cars]).reshape(-1, 7),
-                score=np.ones(len(cars)),
-                occlusion=np.asarray([o.occlusion for o in cars], int),
-                truncation=np.asarray([o.truncation for o in cars])))
+            gts.append(frame_objects_from_labels(objs))
             frame += 1
     dt = time.time() - t0
     print(f"{frame} frames in {dt:.1f}s ({frame / dt:.2f} pairs/s)")
 
     for metric, thresh in (("3d", 0.7), ("3d", 0.5), ("bev", 0.7),
-                           ("bev", 0.5)):
-        res = evaluate(gts, dets, metric=metric, iou_thresh=thresh)
-        print(f"AP_{metric}@{thresh}: " + " / ".join(
-            f"{d}={res[d]:.2f}" for d in ("easy", "moderate", "hard")))
+                           ("bev", 0.5), ("2d", 0.7)):
+        for n_points in (40, 11):
+            res = evaluate(gts, dets, metric=metric, iou_thresh=thresh,
+                           n_points=n_points)
+            print(f"AP_{metric}@{thresh} (R{n_points}): " + " / ".join(
+                f"{d}={res[d]:.2f}" for d in ("easy", "moderate", "hard")))
 
 
 if __name__ == "__main__":

@@ -42,6 +42,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from stereo_rcnn_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache("train")
     from stereo_rcnn_tpu.config import load_config, tiny_test_config
     from stereo_rcnn_tpu.data import KittiDataset, KittiPipeline
     from stereo_rcnn_tpu.data.synthetic import synthetic_batch
@@ -80,7 +82,7 @@ def main():
         def batches():
             for s in range(steps_per_epoch):
                 il, ir, gt, _ = synthetic_batch(cfg, global_batch, seed=s)
-                yield il, ir, gt, None
+                yield il, ir, gt
     else:
         ds = KittiDataset(cfg.data)
         if len(ds) == 0:
@@ -90,7 +92,8 @@ def main():
         steps_per_epoch = pipe.steps_per_epoch()
 
         def batches():
-            yield from pipe
+            for pb in pipe:
+                yield pb.images_left, pb.images_right, pb.gt
 
     state = init_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                              steps_per_epoch)
@@ -108,7 +111,7 @@ def main():
         state = replicate(mesh, state)
         start_epoch = int(state.step) // steps_per_epoch
         for epoch in range(start_epoch, cfg.train.epochs):
-            for il, ir, gt, _ in batches():
+            for il, ir, gt in batches():
                 batch = Batch(images_left=jnp.asarray(il),
                               images_right=jnp.asarray(ir),
                               gt=jax.tree.map(jnp.asarray, gt))
