@@ -66,3 +66,21 @@ def jit_train_step(step_fn, mesh: Mesh):
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def jit_inference(infer_fn, mesh: Mesh):
+    """Jit the full inference pipeline ``(params, left, right, calib_batch)
+    -> Detections3D`` data-parallel over the mesh: params replicated,
+    images AND per-image calibration sharded on the batch axis, detections
+    returned batch-sharded (host gathers lazily on device_get).
+
+    Use with ``inference.make_full_pipeline(cfg)`` (the runtime-calib
+    variant).  Multi-chip inference is the serving path the reference never
+    had (its test_net.py is strictly single-GPU single-image)."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        infer_fn,
+        in_shardings=(rep, bsh, bsh, bsh),
+        out_shardings=bsh,
+    )

@@ -85,6 +85,27 @@ def test_train_step_runs_and_updates(tiny_cfg, state_and_batch):
     assert float(jnp.abs(u1 - u0).max()) > 0          # uncertainty learns
 
 
+def test_train_step_pallas_roi_align(tiny_cfg, state_and_batch):
+    """Training THROUGH the Pallas RoIAlign (forward fused kernel +
+    custom_vjp backward kernel, interpret mode on CPU): finite losses and
+    gradients reaching the backbone — VERDICT item 2's acceptance."""
+    state, batch = state_and_batch
+    cfg = dataclasses.replace(
+        tiny_cfg, rcnn=dataclasses.replace(tiny_cfg.rcnn,
+                                           roi_align_impl="pallas"))
+    one = jax.tree.map(lambda x: x[:1], batch)
+    step_fn = jax.jit(make_train_step(cfg, steps_per_epoch=10))
+    new_state, metrics = step_fn(state, one, jax.random.PRNGKey(5))
+    for k in ("rcnn_cls", "rcnn_box", "kpt", "total", "grad_norm"):
+        assert np.isfinite(float(metrics[k])), k
+    # The RoIAlign backward must propagate into the backbone trunk (layer4
+    # feeds the heads only through the pooled features).
+    l4a = state.params["model"]["backbone_net"]["layer4_0"]["conv2"]["kernel"]
+    l4b = new_state.params["model"]["backbone_net"]["layer4_0"]["conv2"][
+        "kernel"]
+    assert float(jnp.abs(jnp.asarray(l4b) - jnp.asarray(l4a)).max()) > 0
+
+
 def test_loss_decreases_on_repeated_batch(tiny_cfg, state_and_batch):
     state, batch = state_and_batch
     step_fn = jax.jit(make_train_step(tiny_cfg, steps_per_epoch=100))
