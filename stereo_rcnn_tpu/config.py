@@ -90,6 +90,13 @@ class RCNNConfig:
     fg_thresh: float = 0.5               # cfg.TRAIN.FG_THRESH
     bg_thresh_hi: float = 0.5            # cfg.TRAIN.BG_THRESH_HI
     bg_thresh_lo: float = 0.0            # cfg.TRAIN.BG_THRESH_LO
+    # cfg.TRAIN.BBOX_NORMALIZE_STDS (0.1, 0.1, 0.2, 0.2), extended to the
+    # stereo 6-tuple (right-u like u, right-w like w).  Targets are divided
+    # by these at training time and predictions multiplied back at decode;
+    # without it the ~0.1-magnitude deltas sit deep in smooth-L1's
+    # quadratic zone and the box head under-trains by an order of
+    # magnitude.  Means are zero as in the reference.
+    bbox_target_stds: tuple = (0.1, 0.1, 0.2, 0.2, 0.1, 0.2)
     # RoIs mostly inside an ignore region are excluded from the bg pool.
     ignore_overlap: float = 0.5
 

@@ -69,12 +69,53 @@ def _iou(a: np.ndarray, b: np.ndarray) -> float:
     return float(inter / max(area, 1e-9))
 
 
+def _surface_depth_np(us: np.ndarray, location: np.ndarray,
+                      dims_hwl: np.ndarray, ry: float,
+                      calib: StereoCalib) -> np.ndarray:
+    """Per-column depth of the visible box surface (numpy twin of
+    ``solve.dense_align._visible_depth_profile``): cast the left-camera ray
+    of each column u against the object rectangle in bird's-eye view;
+    misses fall back to the center depth."""
+    x, z = float(location[0]), float(location[2])
+    w_half, l_half = float(dims_hwl[1]) / 2, float(dims_hwl[2]) / 2
+    s = (us - float(calib.cu)) / float(calib.f)
+    c, si = np.cos(ry), np.sin(ry)
+    o_x, o_z = -float(calib.tx2) - x, -z
+    a1, b1 = c * s - si, c * o_x - si * o_z
+    a2, b2 = si * s + c, si * o_x + c * o_z
+
+    def slab(a, b, half):
+        big = 1e9
+        tiny = np.abs(a) < 1e-9
+        safe = np.where(tiny, 1.0, a)
+        t1, t2 = (-half - b) / safe, (half - b) / safe
+        lo, hi = np.minimum(t1, t2), np.maximum(t1, t2)
+        inside = abs(b) <= half
+        lo = np.where(tiny, -big if inside else big, lo)
+        hi = np.where(tiny, big if inside else -big, hi)
+        return lo, hi
+
+    lo1, hi1 = slab(a1, b1, l_half)
+    lo2, hi2 = slab(a2, b2, w_half)
+    t_enter = np.maximum(lo1, lo2)
+    t_exit = np.minimum(hi1, hi2)
+    hit = (t_enter <= t_exit) & (t_enter > 0.1)
+    return np.where(hit, t_enter, z)
+
+
 def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
                 im_w: int, rng: np.random.RandomState
                 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Paint each car as a textured rectangle at its (per-view) 2D box with
-    the correct disparity; background is smooth noise.  Returns float32
-    BGR-ish images in [0, 255], shape [H, W, 3]."""
+    """Paint each car with PHYSICALLY CORRECT per-pixel stereo
+    correspondence; background is smooth noise.  Returns float32 BGR-ish
+    images in [0, 255], shape [H, W, 3].
+
+    The left view paints a texture over the object's 2D box; the right
+    view splats each left texture column at ``u - f*b/z_surface(u)``,
+    where z_surface is the ray-cast depth of the visible box surface for
+    that column — the same geometry dense alignment models, so sub-pixel
+    photometric refinement is well-posed on these scenes (a flat-sprite
+    constant shift would bias it by the surface-vs-edge depth gap)."""
     def smooth_noise():
         small = rng.rand(im_h // 8 + 1, im_w // 8 + 1, 3) * 255
         img = np.kron(small, np.ones((8, 8, 1)))[:im_h, :im_w]
@@ -82,23 +123,55 @@ def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
 
     left = smooth_noise()
     right = left.copy()
+    fb = float(calib.f) * float(calib.baseline)
     from stereo_rcnn_tpu.data.kitti import _all_corners_cam, _project_np
     for o in objs:
         corners = _all_corners_cam(o.location, o.dims, o.ry)
-        for is_right, img in ((False, left), (True, right)):
-            uv = _project_np(corners, calib, right=is_right)
-            x1, y1 = uv[:, 0].min(), uv[:, 1].min()
-            x2, y2 = uv[:, 0].max(), uv[:, 1].max()
-            xi1, yi1 = max(int(x1), 0), max(int(y1), 0)
-            xi2, yi2 = min(int(x2), im_w), min(int(y2), im_h)
-            if xi2 <= xi1 or yi2 <= yi1:
-                continue
-            # Texture in OBJECT surface coordinates so both views see the
-            # same pattern (u indexed from the box's left edge).
-            tex_rng = np.random.RandomState(int(abs(o.location[2]) * 100))
-            tex = tex_rng.rand(yi2 - yi1 + 2, xi2 - xi1 + 2, 3) * 255
-            tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, 1, 1)) / 3
-            img[yi1:yi2, xi1:xi2] = tex[:yi2 - yi1, :xi2 - xi1]
+        uv_l = _project_np(corners, calib)
+        x1, y1 = uv_l[:, 0].min(), uv_l[:, 1].min()
+        x2, y2 = uv_l[:, 0].max(), uv_l[:, 1].max()
+        xi1, yi1 = max(int(x1), 0), max(int(y1), 0)
+        xi2, yi2 = min(int(x2), im_w), min(int(y2), im_h)
+        if xi2 <= xi1 or yi2 <= yi1:
+            continue
+        # Band-limited texture (random at 2 px, linearly upsampled): 1 px
+        # white noise aliases under bilinear resampling and biases
+        # photometric matching by ~0.1 px, which at 2 px disparities is a
+        # 5% depth error; a band-limited signal interpolates faithfully.
+        # Texture is drawn fresh per object from the scene rng — a
+        # deterministic per-object texture would let a detector memorise
+        # appearances instead of learning shape (observed: held-out
+        # detection collapse when textures were keyed on object depth).
+        tex_rng = rng
+        th_, tw_ = yi2 - yi1, xi2 - xi1
+        small = tex_rng.rand(th_ // 2 + 2, tw_ // 2 + 2, 3) * 255
+        ry_ = (np.arange(th_) + 0.5) / 2.0
+        rx_ = (np.arange(tw_) + 0.5) / 2.0
+        y0_ = np.floor(ry_).astype(int); fy_ = (ry_ - y0_)[:, None, None]
+        x0_ = np.floor(rx_).astype(int); fx_ = (rx_ - x0_)[None, :, None]
+        tex = ((small[y0_][:, x0_] * (1 - fx_) +
+                small[y0_][:, x0_ + 1] * fx_) * (1 - fy_) +
+               (small[y0_ + 1][:, x0_] * (1 - fx_) +
+                small[y0_ + 1][:, x0_ + 1] * fx_) * fy_)
+        left[yi1:yi2, xi1:xi2] = tex
+
+        # Right view: bilinear-splat each left column at u - f*b/z(u).
+        us = np.arange(xi1, xi2, dtype=np.float64) + 0.5
+        zs = _surface_depth_np(us, o.location, o.dims, o.ry, calib)
+        targets = us - fb / zs - 0.5          # right-image column coords
+        acc = np.zeros((yi2 - yi1, im_w, 3))
+        wacc = np.zeros((im_w,))
+        lo = np.floor(targets).astype(int)
+        frac = targets - lo
+        for off, wgt in ((0, 1.0 - frac), (1, frac)):
+            cols = lo + off
+            ok = (cols >= 0) & (cols < im_w)
+            np.add.at(acc, (slice(None), cols[ok]),
+                      tex[:, ok] * wgt[ok][None, :, None])
+            np.add.at(wacc, cols[ok], wgt[ok])
+        painted = wacc > 0.3
+        right[yi1:yi2, painted] = acc[:, painted] / wacc[painted][None, :,
+                                                                  None]
     return left, right
 
 

@@ -196,7 +196,9 @@ def postprocess(raw: dict, cfg: Config, im_h: int, im_w: int) -> Detections:
         probs = jax.nn.softmax(rcnn.cls_logits, axis=-1)     # [N, K]
         # Car-only pipeline: class 1.  (Generalises by vmapping over class.)
         score = jnp.where(props.valid, probs[:, 1], 0.0)
-        deltas = rcnn.box_deltas[:, 1, :]
+        # Un-normalize: training targets are divided by BBOX_NORMALIZE_STDS
+        # (reference test-time ``bbox_pred * stds + means`` with zero means).
+        deltas = rcnn.box_deltas[:, 1, :] * jnp.asarray(rc.bbox_target_stds)
         box_l, box_r = decode_stereo_boxes(props.left, deltas)
         box_l = clip_boxes(box_l, im_h, im_w)
         box_r = clip_boxes(box_r, im_h, im_w)

@@ -236,7 +236,8 @@ def proposal_targets(prop_left: jnp.ndarray, prop_right: jnp.ndarray,
     cls = jnp.where(sel_fg, gt.cls[g_idx], 0).astype(jnp.int32)
 
     box_targets = encode_stereo_boxes(rois_l, gt.left[g_idx],
-                                      gt.right[g_idx])
+                                      gt.right[g_idx]) \
+        / jnp.asarray(cfg.bbox_target_stds)
     dim_targets = gt.dims[g_idx] - jnp.asarray(cfg.mean_dims_hwl)
     orien_targets = jnp.stack([jnp.sin(gt.alpha[g_idx]),
                                jnp.cos(gt.alpha[g_idx])], axis=-1)
