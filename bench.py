@@ -63,11 +63,21 @@ def main():
     weights = "random"
     if os.path.isdir(BENCH_CKPT):
         try:
+            from stereo_rcnn_tpu.config import load_config
             from stereo_rcnn_tpu.train import init_train_state
             from stereo_rcnn_tpu.train.checkpoint import restore_checkpoint
-            state = init_train_state(cfg, jax.random.PRNGKey(0))
+            # The checkpoint's own config (saved by tools/train.py) defines
+            # its parameter tree — e.g. a GroupNorm from-scratch backbone
+            # has a different tree than the default frozen-BN one.
+            ckpt_cfg_path = os.path.join(BENCH_CKPT, "config.yaml")
+            ckpt_cfg = (load_config(ckpt_cfg_path)
+                        if os.path.exists(ckpt_cfg_path) else cfg)
+            state = init_train_state(ckpt_cfg, jax.random.PRNGKey(0))
             state = restore_checkpoint(BENCH_CKPT, state)
             params = {"params": jax.device_get(state.params)["model"]}
+            cfg = dataclasses.replace(
+                ckpt_cfg, rcnn=dataclasses.replace(ckpt_cfg.rcnn,
+                                                   roi_align_impl="pallas"))
             weights = f"ckpt@step{int(state.step)}"
         except Exception as e:  # noqa: BLE001 - fall back to random weights
             print(f"# bench_ckpt load failed ({e}); using random weights",

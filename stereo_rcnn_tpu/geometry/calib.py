@@ -4,13 +4,18 @@ Behavioral reference: ``lib/model/utils/kitti_utils.py`` —
 ``read_obj_calibration`` (parses P2/P3 projection matrices and derives
 focal length, principal point, and stereo baseline).  Re-designed as an
 immutable pytree-friendly NamedTuple so calibration rides through jit.
+
+HOST-SIDE CODE ONLY USES NUMPY here: construction/scaling happens in the
+data loader, and on a remote-device backend every eager jax op is a device
+round-trip that queues BEHIND in-flight training steps (observed: training
+throughput decaying 4 -> 0.6 pairs/s as calib ops serialized with the step
+queue).  Leaves become jax arrays only when traced into a jitted program.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -21,18 +26,21 @@ class StereoCalib(NamedTuple):
     stacked pytree.  Units: pixels for f/cu/cv, metres for baseline.
     """
 
-    f: jnp.ndarray        # focal length (pixels), P2[0, 0]
-    cu: jnp.ndarray       # principal point u, P2[0, 2]
-    cv: jnp.ndarray       # principal point v, P2[1, 2]
-    baseline: jnp.ndarray # stereo baseline (m): (P2[0,3] - P3[0,3]) / f
-    tx2: jnp.ndarray      # left-cam x offset from reference cam: P2[0,3]/f
-    p2: jnp.ndarray       # (3, 4) left projection
-    p3: jnp.ndarray       # (3, 4) right projection
+    f: np.ndarray         # focal length (pixels), P2[0, 0]
+    cu: np.ndarray        # principal point u, P2[0, 2]
+    cv: np.ndarray        # principal point v, P2[1, 2]
+    baseline: np.ndarray  # stereo baseline (m): (P2[0,3] - P3[0,3]) / f
+    tx2: np.ndarray       # left-cam x offset from reference cam: P2[0,3]/f
+    p2: np.ndarray        # (3, 4) left projection
+    p3: np.ndarray        # (3, 4) right projection
 
     def scale(self, factor) -> "StereoCalib":
-        """Rescale intrinsics for a resized image (baseline is metric)."""
-        factor = jnp.asarray(factor, dtype=jnp.float32)
-        s = jnp.stack([factor, factor, jnp.ones_like(factor)])[:, None]
+        """Rescale intrinsics for a resized image (baseline is metric).
+
+        numpy on purpose — runs per frame on the host data path (see
+        module docstring).  ``factor`` must be a host scalar."""
+        factor = np.float32(factor)
+        s = np.stack([factor, factor, np.float32(1.0)])[:, None]
         return StereoCalib(
             f=self.f * factor, cu=self.cu * factor, cv=self.cv * factor,
             baseline=self.baseline, tx2=self.tx2,
@@ -41,8 +49,8 @@ class StereoCalib(NamedTuple):
 
 
 def calib_from_p2_p3(p2: np.ndarray, p3: np.ndarray) -> StereoCalib:
-    p2 = jnp.asarray(p2, dtype=jnp.float32).reshape(3, 4)
-    p3 = jnp.asarray(p3, dtype=jnp.float32).reshape(3, 4)
+    p2 = np.asarray(p2, dtype=np.float32).reshape(3, 4)
+    p3 = np.asarray(p3, dtype=np.float32).reshape(3, 4)
     f = p2[0, 0]
     return StereoCalib(
         f=f,

@@ -521,28 +521,20 @@ def _stereo_roi_align_bwd_impl(feats_l, feats_r, rois_l, rois_r, strides,
                                pooling_size, kpt_size, interpret,
                                d7l, d7r, d14l):
     """Batched backward: returns (d_feats_l, d_feats_r) as float32 arrays
-    shaped like the (batched) input pyramids."""
+    shaped like the (batched) input pyramids.
+
+    One pallas_call per IMAGE (grid = R), sequenced with ``lax.map``:
+    Mosaic's per-grid-step scalar bookkeeping costs ~2 KB of SMEM per
+    step, so a whole-batch grid of B*R steps blows the 1 MB SMEM budget
+    at production shapes (observed: batch 8 x 128 rois -> "Used 2.00M of
+    1.00M smem"); per-image grids stay comfortably under it and compile
+    the kernel once."""
     bsz, r = rois_l.shape[:2]
     c = feats_l[0].shape[-1]
     num_levels = len(feats_l)
     level_shapes = [(f.shape[1], f.shape[2]) for f in feats_l]
     win_shapes = [(min(h, bh), min(w, bw))
                   for (h, w), (bh, bw) in zip(level_shapes, _STEREO_WIN)]
-
-    def meta_with_batch(rois):
-        flat = rois.reshape(bsz * r, 4)
-        meta, geom = _roi_window_meta(level_shapes, win_shapes, flat,
-                                      strides, kpt_size)
-        b_idx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), r)
-        return jnp.concatenate([meta, b_idx[:, None]], -1), geom
-
-    meta_l, geom_l = meta_with_batch(rois_l)
-    meta_r, geom_r = meta_with_batch(rois_r)
-
-    zeros_l = [jnp.zeros((bsz, h, w, c), jnp.float32)
-               for h, w in level_shapes]
-    zeros_r = [jnp.zeros((bsz, h, w, c), jnp.float32)
-               for h, w in level_shapes]
 
     p = pooling_size
     kernel = functools.partial(
@@ -553,7 +545,7 @@ def _stereo_roi_align_bwd_impl(feats_l, feats_r, rois_l, rois_r, strides,
     ww_max = max(w for _, w in win_shapes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(bsz * r,),
+        grid=(r,),
         in_specs=(
             [pl.BlockSpec((1, kpt_size, kpt_size, c),
                           lambda i, *_: (i, 0, 0, 0),
@@ -570,23 +562,40 @@ def _stereo_roi_align_bwd_impl(feats_l, feats_r, rois_l, rois_r, strides,
                         pltpu.VMEM((wh_max, ww_max, c), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )
-    outs = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((bsz, h, w, c), jnp.float32)
-            for h, w in level_shapes * 2),
-        # Zero-initialised gradient accumulators alias the outputs so each
-        # grid step read-modify-writes them in place.  Operand indices
-        # INCLUDE the 4 scalar-prefetch args: meta/geom are 0..3, d14/d7l/
-        # d7r are 4..6, the accumulators start at 7.
-        input_output_aliases={7 + k: k for k in range(2 * num_levels)},
-        interpret=interpret,
-    )(meta_l, geom_l, meta_r, geom_r,
-      d14l.reshape(bsz * r, kpt_size, kpt_size, c),
-      d7l.reshape(bsz * r, p, p, c),
-      d7r.reshape(bsz * r, p, p, c),
-      *zeros_l, *zeros_r)
+
+    def one_image(args):
+        rl, rr, d14_i, d7l_i, d7r_i = args
+        b0 = jnp.zeros((r, 1), jnp.int32)
+
+        def meta_of(rois):
+            meta, geom = _roi_window_meta(level_shapes, win_shapes, rois,
+                                          strides, kpt_size)
+            return jnp.concatenate([meta, b0], -1), geom
+
+        meta_l, geom_l = meta_of(rl)
+        meta_r, geom_r = meta_of(rr)
+        zeros = [jnp.zeros((1, h, w, c), jnp.float32)
+                 for h, w in level_shapes] * 2
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((1, h, w, c), jnp.float32)
+                for h, w in level_shapes * 2),
+            # Zero-initialised gradient accumulators alias the outputs so
+            # each grid step read-modify-writes them in place.  Operand
+            # indices INCLUDE the 4 scalar-prefetch args: meta/geom are
+            # 0..3, d14/d7l/d7r are 4..6, the accumulators start at 7.
+            input_output_aliases={7 + k: k for k in range(2 * num_levels)},
+            interpret=interpret,
+        )(meta_l, geom_l, meta_r, geom_r, d14_i, d7l_i, d7r_i, *zeros)
+        return tuple(o[0] for o in outs)
+
+    outs = jax.lax.map(one_image, (
+        rois_l, rois_r,
+        d14l.reshape(bsz, r, kpt_size, kpt_size, c),
+        d7l.reshape(bsz, r, p, p, c),
+        d7r.reshape(bsz, r, p, p, c)))
     d_feats_l = list(outs[:num_levels])
     d_feats_r = list(outs[num_levels:])
     return d_feats_l, d_feats_r

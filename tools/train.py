@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--tiny", action="store_true",
                    help="tiny config (CI/smoke)")
     p.add_argument("--disp-interval", type=int, default=20)
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="save a checkpoint every N epochs (the final epoch "
+                        "always saves); on a tunneled backend each save is "
+                        "a multi-minute full-state readback")
     return p.parse_args()
 
 
@@ -78,11 +82,15 @@ def main():
 
     if args.synthetic:
         steps_per_epoch = max(args.synthetic // global_batch, 1)
+        # Pre-render once and reuse across epochs: host rendering would
+        # otherwise serialize with (and starve) the device step queue.
+        print(f"rendering {steps_per_epoch} x {global_batch} synthetic "
+              f"scenes...", flush=True)
+        pool = [synthetic_batch(cfg, global_batch, seed=s)[:3]
+                for s in range(steps_per_epoch)]
 
         def batches():
-            for s in range(steps_per_epoch):
-                il, ir, gt, _ = synthetic_batch(cfg, global_batch, seed=s)
-                yield il, ir, gt
+            yield from pool
     else:
         ds = KittiDataset(cfg.data)
         if len(ds) == 0:
@@ -94,6 +102,14 @@ def main():
         def batches():
             for pb in pipe:
                 yield pb.images_left, pb.images_right, pb.gt
+
+    # Persist the EFFECTIVE config next to the checkpoints so consumers
+    # (bench, test_net, demo) can rebuild the exact same parameter tree
+    # (e.g. GroupNorm vs frozen-BN changes the tree structure).
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    import yaml
+    with open(os.path.join(args.ckpt_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f)
 
     state = init_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                              steps_per_epoch)
@@ -109,24 +125,51 @@ def main():
 
     with mesh:
         state = replicate(mesh, state)
+
+        # Synthetic pools are staged on DEVICE once: re-uploading each
+        # ~190 MB batch every step through a tunneled backend costs far
+        # more than the step itself (observed 12 s/step vs ~0.5 s).
+        staged = None
+        if args.synthetic:
+            staged = [shard_batch(mesh, Batch(
+                images_left=jnp.asarray(il), images_right=jnp.asarray(ir),
+                gt=jax.tree.map(jnp.asarray, gt)))
+                for il, ir, gt in batches()]
+
+        def device_batches():
+            if staged is not None:
+                yield from staged
+                return
+            for il, ir, gt in batches():
+                yield shard_batch(mesh, Batch(
+                    images_left=jnp.asarray(il),
+                    images_right=jnp.asarray(ir),
+                    gt=jax.tree.map(jnp.asarray, gt)))
+
         start_epoch = int(state.step) // steps_per_epoch
         for epoch in range(start_epoch, cfg.train.epochs):
-            for il, ir, gt in batches():
-                batch = Batch(images_left=jnp.asarray(il),
-                              images_right=jnp.asarray(ir),
-                              gt=jax.tree.map(jnp.asarray, gt))
-                batch = shard_batch(mesh, batch)
+            for batch in device_batches():
                 rng, sub = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, sub)
                 timer.tick()
                 step = int(state.step)
-                logger.log(step, {**{k: float(v)
-                                     for k, v in metrics.items()},
-                                  "pairs_per_sec":
-                                      timer.throughput(global_batch)})
-            save_checkpoint(args.ckpt_dir, jax.device_get(state))
-            print(f"epoch {epoch + 1}/{cfg.train.epochs} done, "
-                  f"checkpoint saved to {args.ckpt_dir}")
+                # Metrics are fetched (ONE device_get, not one per metric)
+                # only on logging steps — every fetch is a full pipeline
+                # sync, and per-step syncs serialize the device queue.
+                if step % args.disp_interval == 0 or \
+                        step % steps_per_epoch == 0:
+                    mvals = jax.device_get(metrics)
+                    logger.log(step, {**{k: float(v)
+                                         for k, v in mvals.items()},
+                                      "pairs_per_sec":
+                                          timer.throughput(global_batch)})
+            if ((epoch + 1) % args.ckpt_every == 0
+                    or epoch + 1 == cfg.train.epochs):
+                save_checkpoint(args.ckpt_dir, jax.device_get(state))
+                print(f"epoch {epoch + 1}/{cfg.train.epochs} done, "
+                      f"checkpoint saved to {args.ckpt_dir}")
+            else:
+                print(f"epoch {epoch + 1}/{cfg.train.epochs} done")
     logger.close()
 
 
