@@ -127,8 +127,16 @@ class BackboneConfig:
 
     depth: int = 101                     # (3, 4, 23, 3) bottleneck blocks
     norm: str = "frozen"                 # "frozen" (pretrained BN constants,
-                                         # the reference setup) | "group"
-                                         # (GroupNorm, from-scratch training)
+                                         # the reference setup) | "affine"
+                                         # (trainable scale/bias, zero-gamma
+                                         # init; tree-identical to frozen so
+                                         # its checkpoints serve in the
+                                         # frozen inference program) |
+                                         # "group" (GroupNorm)
+    # FPN top-down upsample: "bilinear" is reference-exact
+    # (resnet.py _upsample_add, F.upsample mode='bilinear'); "nearest" is a
+    # cheaper measured deviation.
+    fpn_upsample: str = "bilinear"
     fpn_dim: int = 256                   # FPN output channels P2..P6
     frozen_stages: int = 1               # cfg.RESNET.FIXED_BLOCKS
     # Caffe BGR channel means (cfg.PIXEL_MEANS).
@@ -204,6 +212,18 @@ class Config:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     # Compute dtype for conv/matmul heavy paths (params stay f32).
     compute_dtype: str = "bfloat16"
+    # 2D box-width convention: "legacy" = reference-exact "+1" widths
+    # (``bbox_transform.py``: w = x2 - x1 + 1 in encode/decode/IoU, clip to
+    # size-1) — required for released-checkpoint parity; "continuous" =
+    # modern w = x2 - x1.  Sub-pixel shifts move IoU thresholds enough to
+    # change AP tenths (SURVEY §7), hence config-level, default reference-
+    # exact.  See geometry/boxes.py for the exact quirk set.
+    box_convention: str = "legacy"
+
+    @property
+    def box_off(self) -> float:
+        """Width offset threaded into geometry/boxes functions."""
+        return 1.0 if self.box_convention == "legacy" else 0.0
 
     def replace(self, **kwargs: Any) -> "Config":
         return dataclasses.replace(self, **kwargs)

@@ -26,10 +26,10 @@ from stereo_rcnn_tpu.utils.host_preproc import resize_subtract_pad
 
 
 class PipelineBatch(NamedTuple):
-    """One host-side batch.  The last batch of an epoch may be PADDED by
-    repeating its final frame: ``n_valid`` <= B gives the real frame count
-    (consumers must not score the pad replicas — the reference DataLoader
-    simply yields a short batch, which fixed TPU shapes cannot)."""
+    """One host-side batch.  The last batch of an epoch may be PADDED with
+    wrap-around frames from the epoch order: ``n_valid`` <= B gives the real
+    frame count (consumers must not score the pad replicas — the reference
+    DataLoader simply yields a short batch, which fixed TPU shapes cannot)."""
 
     images_left: np.ndarray    # [B, H, W, 3]
     images_right: np.ndarray   # [B, H, W, 3]
@@ -93,8 +93,12 @@ class KittiPipeline:
 
     def _epoch_indices(self):
         """[n_batches, B] index array + per-batch valid counts.  The ragged
-        tail is PADDED by repeating the last frame (static shapes) and its
-        true length reported via ``n_valid``."""
+        tail is PADDED (static shapes require a full batch) with WRAP-AROUND
+        frames from the start of this epoch's (shuffled) order — distinct
+        frames that differ per epoch, so training on the pad replicas is an
+        unbiased resample of the dataset rather than the same last frame
+        over-weighted every epoch.  The true length rides in ``n_valid``;
+        evaluation consumers must still not score the replicas."""
         idx = np.arange(len(self.ds))
         if self.shuffle:
             self.rng.shuffle(idx)
@@ -103,7 +107,8 @@ class KittiPipeline:
         tail = len(idx) - n_full * bs
         counts = [bs] * n_full
         if tail:
-            idx = np.concatenate([idx, np.repeat(idx[-1], bs - tail)])
+            pad = np.resize(idx, len(idx) + bs - tail)[len(idx):]
+            idx = np.concatenate([idx, pad])
             counts.append(tail)
         return idx.reshape(-1, bs), counts
 

@@ -135,8 +135,10 @@ def _match_frame(gt: FrameObjects, det: FrameObjects, iou, thresh: float,
                 det_tp[d] = True
                 matched = True
             elif (cand & ignored).any():
-                g = int(np.argmax(np.where(cand & ignored, iou[d], -1.0)))
-                taken[g] = True
+                # Ignored gts are NOT marked taken: the devkit lets an
+                # ignored gt absorb any number of detections (each becomes
+                # "ignored", never FP), so duplicates over a Van/too-hard
+                # gt must keep matching it.
                 det_ign[d] = True
                 matched = True
         if not matched:

@@ -55,14 +55,39 @@ def solve_and_align(det: Detections, images_left: jnp.ndarray,
     sc = cfg.solver
     gray_l = images_left.mean(-1)
     gray_r = images_right.mean(-1)
+    im_h = float(images_left.shape[1])
+    im_w = float(images_left.shape[2])
+    eps = 1.5  # px: a box edge this close to the border is truncation
 
     def one_image(det_i: Detections, gl, gr, calib_i: StereoCalib):
         obs = observations_from_detection(det_i.box_left, det_i.box_right,
                                           det_i.kpt_u)
-        # Down-weight the keypoint constraint when its confidence is low
-        # (reference drops the constraint for invisible keypoints).
         w = jnp.ones(obs.shape)
-        w = w.at[:, 6].set(jnp.where(det_i.kpt_prob > 0.2, 1.0, 0.0))
+        # Truncation-aware constraint weighting (reference
+        # ``box_estimator.py::solve_x_y_z_theta_from_kpt`` drops the
+        # observations for image-border-truncated box edges): a box edge
+        # clipped by the image border is NOT the projection of the 3D box
+        # corner, so feeding it to GN skews (x, z).  Each edge kills its
+        # own constraints only — the solver is damped, so the remaining
+        # observations still determine the pose.
+        bl = det_i.box_left
+        at_l = bl[:, 0] <= eps                       # left edge truncated
+        at_t = bl[:, 1] <= eps
+        at_r = bl[:, 2] >= im_w - 1.0 - eps
+        at_b = bl[:, 3] >= im_h - 1.0 - eps
+        drop = lambda c, m: w.at[:, c].set(jnp.where(m, 0.0, w[:, c]))
+        w = drop(0, at_l)            # ul (left image)
+        w = drop(4, at_l)            # ul (right image, same occluding edge)
+        w = drop(2, at_r)            # ur (left image)
+        w = drop(5, at_r)            # ur (right image)
+        w = drop(1, at_t)            # v_top
+        w = drop(3, at_b)            # v_bottom
+        # Down-weight the keypoint constraint when its confidence is low
+        # (reference drops the constraint for invisible keypoints), or when
+        # the keypoint itself sits on a truncated border.
+        kpt_ok = ((det_i.kpt_prob > 0.2) & (det_i.kpt_u > eps)
+                  & (det_i.kpt_u < im_w - 1.0 - eps))
+        w = w.at[:, 6].set(jnp.where(kpt_ok, 1.0, 0.0))
         res = solve_batch(obs, det_i.dims, det_i.alpha, det_i.kpt_type,
                           calib_i, obs_weights=w, iters=sc.gn_iters,
                           damping=sc.gn_damping)

@@ -55,7 +55,7 @@ class StereoRCNN(nn.Module):
         self.backbone_net = ResNetFPN(
             depth=c.backbone.depth, fpn_dim=c.backbone.fpn_dim,
             frozen_stages=c.backbone.frozen_stages, dtype=dtype,
-            norm=c.backbone.norm)
+            norm=c.backbone.norm, upsample=c.backbone.fpn_upsample)
         self.rpn_head = StereoRPNHead(
             num_anchors=c.anchors.num_anchors_per_cell,
             conv_dim=c.rpn.conv_dim, dtype=dtype)
@@ -103,7 +103,8 @@ def forward_raw(model: StereoRCNN, images_left: jnp.ndarray,
 
     anchors = generate_anchors(cfg.anchors, im_h, im_w)
     sel = functools.partial(select_proposals, anchors=anchors, im_h=im_h,
-                            im_w=im_w, cfg=cfg.rpn, train=train)
+                            im_w=im_w, cfg=cfg.rpn, train=train,
+                            off=cfg.box_off)
     props: Proposals = jax.vmap(sel)(logits, deltas)         # [B, N, ...]
 
     pooled = roi_features(model, feats_l, feats_r, props.left, props.right)
@@ -198,15 +199,16 @@ def postprocess(raw: dict, cfg: Config, im_h: int, im_w: int) -> Detections:
         score = jnp.where(props.valid, probs[:, 1], 0.0)
         # Un-normalize: training targets are divided by BBOX_NORMALIZE_STDS
         # (reference test-time ``bbox_pred * stds + means`` with zero means).
+        off = cfg.box_off
         deltas = rcnn.box_deltas[:, 1, :] * jnp.asarray(rc.bbox_target_stds)
-        box_l, box_r = decode_stereo_boxes(props.left, deltas)
-        box_l = clip_boxes(box_l, im_h, im_w)
-        box_r = clip_boxes(box_r, im_h, im_w)
+        box_l, box_r = decode_stereo_boxes(props.left, deltas, off)
+        box_l = clip_boxes(box_l, im_h, im_w, off)
+        box_r = clip_boxes(box_r, im_h, im_w, off)
 
         keep = score >= rc.score_thresh
         idx, valid = nms_indices(union_box(box_l, box_r), score,
                                  rc.final_nms_thresh, rc.max_detections,
-                                 valid=keep)
+                                 valid=keep, off=off)
         box_l, box_r = box_l[idx], box_r[idx]
         score = score[idx]
         dims = jnp.asarray(rc.mean_dims_hwl) + rcnn.dims[idx, 1, :]

@@ -30,8 +30,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-STAGE_BLOCKS = {26: (2, 2, 2, 2), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
-                152: (3, 8, 36, 3)}
+STAGE_BLOCKS = {10: (1, 1, 1, 1), 26: (2, 2, 2, 2), 50: (3, 4, 6, 3),
+                101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
 
 class GroupNorm32(nn.Module):
@@ -57,20 +57,46 @@ class FrozenBatchNorm(nn.Module):
     Parameters are initialised to identity; a weight converter can load
     ``scale = gamma / sqrt(var + eps)`` and ``bias = beta - mean * scale``.
     Gradients are stopped — these never train (reference freezes all BN).
+
+    ``trainable=True`` turns this into a per-channel affine (the "affine"
+    norm option): IDENTICAL forward computation and parameter tree, but the
+    scale/bias DO receive gradients, and ``zero_init`` zero-initialises the
+    scale (the standard zero-gamma residual trick) so a deep norm-free
+    ResNet starts as an identity stack and trains stably from scratch.
+    Because forward and tree match the frozen variant exactly, a checkpoint
+    trained in affine mode restores into the default frozen-BN inference
+    program with no recompile.
     """
 
     features: int
     dtype: Any = jnp.bfloat16
+    trainable: bool = False
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        scale = self.param("scale", nn.initializers.ones, (self.features,),
+        scale_init = (nn.initializers.zeros if self.zero_init
+                      else nn.initializers.ones)
+        scale = self.param("scale", scale_init, (self.features,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        scale = jax.lax.stop_gradient(scale).astype(self.dtype)
-        bias = jax.lax.stop_gradient(bias).astype(self.dtype)
-        return x * scale + bias
+        if not self.trainable:
+            scale = jax.lax.stop_gradient(scale)
+            bias = jax.lax.stop_gradient(bias)
+        return x * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+def _norm(norm: str, features: int, dtype: Any, name: str,
+          zero_init: bool = False) -> nn.Module:
+    """norm options: "frozen" (pretrained constants, reference setup),
+    "affine" (trainable scale/bias, zero-gamma — from-scratch training with
+    a frozen-BN-compatible tree), "group" (GroupNorm)."""
+    if norm == "group":
+        return GroupNorm32(features, dtype, name=name)
+    return FrozenBatchNorm(features, dtype, trainable=(norm == "affine"),
+                           zero_init=zero_init and norm == "affine",
+                           name=name)
 
 
 class Bottleneck(nn.Module):
@@ -89,30 +115,33 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        norm_cls = FrozenBatchNorm if self.norm == "frozen" else GroupNorm32
         out_features = self.features * 4
         residual = x
         s1 = self.stride if self.stride_in_1x1 else 1
         s3 = 1 if self.stride_in_1x1 else self.stride
         y = nn.Conv(self.features, (1, 1), strides=(s1, s1),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = norm_cls(self.features, self.dtype, name="bn1")(y)
+        y = _norm(self.norm, self.features, self.dtype, "bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(s3, s3),
                     padding=[(1, 1), (1, 1)],
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = norm_cls(self.features, self.dtype, name="bn2")(y)
+        y = _norm(self.norm, self.features, self.dtype, "bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
-        y = norm_cls(out_features, self.dtype, name="bn3")(y)
+        # zero_init (affine mode only): residual branch starts at zero so
+        # the network begins as an identity stack — lets the norm-free
+        # affine variant train from scratch.
+        y = _norm(self.norm, out_features, self.dtype, "bn3",
+                  zero_init=True)(y)
         if residual.shape[-1] != out_features or self.stride != 1:
             residual = nn.Conv(out_features, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
-            residual = norm_cls(out_features, self.dtype,
-                                name="downsample_bn")(residual)
+            residual = _norm(self.norm, out_features, self.dtype,
+                             "downsample_bn")(residual)
         return nn.relu(y + residual)
 
 
@@ -127,8 +156,10 @@ class ResNetFPN(nn.Module):
     frozen_stages: int = 1      # cfg.RESNET.FIXED_BLOCKS
     dtype: Any = jnp.bfloat16
     stride_in_1x1: bool = True  # caffe variant (the reference's lineage)
-    norm: str = "frozen"        # "frozen" for converted weights, "group"
-                                # for from-scratch training
+    norm: str = "frozen"        # "frozen" for converted weights, "affine"
+                                # or "group" for from-scratch training
+    upsample: str = "bilinear"  # FPN top-down: "bilinear" (reference-exact,
+                                # resnet.py _upsample_add) | "nearest"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -138,8 +169,7 @@ class ResNetFPN(nn.Module):
         # Stem: conv1 7x7/2 + maxpool 3x3/2.
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        norm_cls = FrozenBatchNorm if self.norm == "frozen" else GroupNorm32
-        x = norm_cls(64, self.dtype, name="bn1")(x)
+        x = _norm(self.norm, 64, self.dtype, "bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         if self.norm == "frozen" and self.frozen_stages >= 0:
@@ -181,11 +211,21 @@ class ResNetFPN(nn.Module):
         p6 = nn.max_pool(p5, (1, 1), strides=(2, 2))
         return p2, p3, p4, p5, p6
 
-    @staticmethod
-    def _upsample_add(top: jnp.ndarray, lateral: jnp.ndarray) -> jnp.ndarray:
-        """Nearest-neighbour 2x upsample of `top` + lateral (cheap on VPU;
-        the reference uses bilinear — nearest is the standard FPN choice and
-        is noted as a deliberate deviation)."""
+    def _upsample_add(self, top: jnp.ndarray,
+                      lateral: jnp.ndarray) -> jnp.ndarray:
+        """FPN top-down 2x upsample of `top` + lateral.
+
+        "bilinear" matches the reference exactly (``resnet.py`` —
+        ``_upsample_add`` uses ``F.upsample(..., mode='bilinear')`` to the
+        lateral's spatial size; jax.image.resize 'linear' uses the same
+        half-pixel-center convention as align_corners=False).  "nearest"
+        (repeat) is cheaper on the VPU and is kept as a measured option —
+        feature maps differ, so converted reference checkpoints require
+        bilinear for parity.
+        """
         b, h, w, c = lateral.shape
+        if self.upsample == "bilinear":
+            up = jax.image.resize(top, (b, h, w, c), method="linear")
+            return up.astype(lateral.dtype) + lateral
         up = jnp.repeat(jnp.repeat(top, 2, axis=1), 2, axis=2)
         return up[:, :h, :w, :] + lateral

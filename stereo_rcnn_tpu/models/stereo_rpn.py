@@ -76,23 +76,26 @@ class Proposals(NamedTuple):
 
 def select_proposals(logits: jnp.ndarray, deltas: jnp.ndarray,
                      anchors: jnp.ndarray, im_h: int, im_w: int,
-                     cfg: RPNConfig, train: bool) -> Proposals:
+                     cfg: RPNConfig, train: bool,
+                     off: float = 0.0) -> Proposals:
     """Fixed-shape proposal selection for ONE image pair.
 
     Reference: ``_ProposalLayer.forward`` — decode, clip, (min-size filter),
-    pre-NMS top-K, union-box NMS, post-NMS top-N.
+    pre-NMS top-K, union-box NMS, post-NMS top-N.  ``off`` is the box-width
+    convention offset (``Config.box_off``).
     """
     pre_n = cfg.train_pre_nms_top_n if train else cfg.test_pre_nms_top_n
     post_n = cfg.train_post_nms_top_n if train else cfg.test_post_nms_top_n
 
     scores = jax.nn.softmax(logits, axis=-1)[..., 1]         # fg prob [A]
-    left, right = decode_stereo_boxes(anchors, deltas)
-    left = clip_boxes(left, im_h, im_w)
-    right = clip_boxes(right, im_h, im_w)
+    left, right = decode_stereo_boxes(anchors, deltas, off)
+    left = clip_boxes(left, im_h, im_w, off)
+    right = clip_boxes(right, im_h, im_w, off)
 
-    # Min-size filter on the left box (reference RPN_MIN_SIZE).
-    w = left[:, 2] - left[:, 0]
-    h = left[:, 3] - left[:, 1]
+    # Min-size filter on the left box (reference RPN_MIN_SIZE; legacy
+    # widths are x2 - x1 + 1).
+    w = left[:, 2] - left[:, 0] + off
+    h = left[:, 3] - left[:, 1] + off
     ok = (w >= cfg.min_size) & (h >= cfg.min_size)
     scores = jnp.where(ok, scores, -1.0)
 
@@ -103,7 +106,8 @@ def select_proposals(logits: jnp.ndarray, deltas: jnp.ndarray,
     union_k = union_box(left_k, right_k)
 
     keep_idx, keep_valid = nms_indices(union_k, top_scores, cfg.nms_thresh,
-                                       post_n, valid=top_scores >= 0)
+                                       post_n, valid=top_scores >= 0,
+                                       off=off)
     return Proposals(
         left=left_k[keep_idx],
         right=right_k[keep_idx],

@@ -34,7 +34,8 @@ _DEFAULT_ROUNDS = 32
 
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
              valid: jnp.ndarray | None = None,
-             rounds: int = _DEFAULT_ROUNDS) -> jnp.ndarray:
+             rounds: int = _DEFAULT_ROUNDS,
+             off: float = 0.0) -> jnp.ndarray:
     """Greedy NMS keep-mask (original box order).
 
     Args:
@@ -43,9 +44,11 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
       iou_thresh: IoU above which a lower-scored box is suppressed.
       valid: optional [N] bool; invalid boxes are never kept.
       rounds: leader-election rounds (each >=1 box finalised per round).
+      off: box-width convention offset (``Config.box_off``; the reference's
+        CUDA nms uses the legacy "+1" widths).
     """
     n = boxes.shape[0]
-    iou = pairwise_iou(boxes, boxes)
+    iou = pairwise_iou(boxes, boxes, off)
     overlap = (iou > iou_thresh).astype(jnp.float32)        # [N, N], sym
     idx = jnp.arange(n)
     # higher[j, i] = box j precedes box i in greedy order.
@@ -77,10 +80,11 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
 
 def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh: float,
                 top_k: int, valid: jnp.ndarray | None = None,
-                rounds: int = _DEFAULT_ROUNDS):
+                rounds: int = _DEFAULT_ROUNDS, off: float = 0.0):
     """NMS returning padded indices of the ``top_k`` surviving boxes by
     score, plus a validity mask.  Fixed output shape [top_k]."""
-    keep = nms_mask(boxes, scores, iou_thresh, valid=valid, rounds=rounds)
+    keep = nms_mask(boxes, scores, iou_thresh, valid=valid, rounds=rounds,
+                    off=off)
     masked_scores = jnp.where(keep, scores, -jnp.inf)
     k_eff = min(top_k, masked_scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(masked_scores, k_eff)

@@ -144,6 +144,13 @@ def solve_batch(obs: jnp.ndarray, dims_hwl: jnp.ndarray, alpha: jnp.ndarray,
             * obs_weights                                   # [N, 7]
 
     eye4 = jnp.eye(4)
+    # Trust region: per-iteration update bound (m, m, m, rad).  When
+    # truncation weighting zeroes several observations the normal matrix
+    # can go near-singular along the unobserved directions; an unbounded
+    # GN step then catapults the state (observed: 1e15 m positions).
+    # Over ``iters`` iterations the bound still allows tens of metres of
+    # total travel, so well-posed solves are unaffected.
+    max_step = jnp.array([3.0, 1.5, 5.0, 0.5])
 
     def step(_, state):
         r = residual(state)                                 # [N, 7]
@@ -155,13 +162,22 @@ def solve_batch(obs: jnp.ndarray, dims_hwl: jnp.ndarray, alpha: jnp.ndarray,
             cols.append(jc)                                 # [N, 7]
         j = jnp.stack(cols, axis=-1)                        # [N, 7, 4]
         j = j * free[:, None, :]
-        # Damped normal equations; frozen dims get a unit diagonal so the
-        # system stays SPD.
-        jtj = jnp.einsum("nik,nil->nkl", j, j) + damping * eye4 \
+        # Levenberg–Marquardt normal equations: damping scaled by
+        # diag(JtJ) makes the step size scale-invariant and shrinks it
+        # along poorly-observed directions; the absolute ``damping * I``
+        # floor keeps the system SPD when a diagonal entry is ~0.  Frozen
+        # dims get a unit diagonal.
+        jtj = jnp.einsum("nik,nil->nkl", j, j)
+        diag = jnp.einsum("nii->ni", jtj)                   # [N, 4]
+        jtj = jtj + (damping * (1.0 + diag))[:, :, None] * eye4 \
             + eye4 * (1.0 - free)[:, None, :]
         jtr = jnp.einsum("nik,ni->nk", j, r)
         delta = _solve_spd4(jtj, jtr)
-        return state - delta * free
+        delta = jnp.clip(delta, -max_step, max_step)
+        new = state - delta * free
+        # Keep depth physical: z <= ~0 breaks the projection (divide by z)
+        # and poisons every subsequent iteration with non-finite values.
+        return new.at[:, 2].set(jnp.maximum(new[:, 2], 0.5))
 
     state = jax.lax.fori_loop(0, iters, step, state0)
     r = residual(state)

@@ -53,3 +53,34 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     s = mgr.latest_step()
     mgr.close()
     return s
+
+
+# ---------------------------------------------------------------------------
+# Params-only export: a flat snapshot of the MODEL parameters (no optimizer
+# state, no uncertainty vector) that inference consumers (bench.py, demo,
+# test_net) can restore WITHOUT rebuilding a TrainState — restoring into an
+# existing identically-structured tree is pure IO, so it never triggers a
+# fresh XLA compile (the round-2 bench timeout was caused by exactly that:
+# loading a checkpoint whose config implied a different parameter tree and
+# therefore a different, uncached program).
+# ---------------------------------------------------------------------------
+
+def export_params(export_dir: str, params) -> None:
+    """Save an inference-ready ``{"params": model_params}`` pytree."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(export_dir), params, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def restore_params(export_dir: str, template):
+    """Restore a params-only export into ``template``'s exact structure.
+
+    Raises if the stored tree does not match ``template`` (tree structure
+    or array shapes), so callers can fall back rather than silently run
+    with mismatched weights.
+    """
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(export_dir), template)
+    ckptr.close()
+    return restored

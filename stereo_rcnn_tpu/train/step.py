@@ -53,14 +53,18 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", k)) for k in path)
 
 
-def param_label(path, _leaf, freeze_stem: bool = True) -> str:
+def param_label(path, _leaf, freeze_stem: bool = True,
+                train_bn: bool = False) -> str:
     """Optimizer partition for one param.
 
     ``freeze_stem`` mirrors the reference's FIXED_BLOCKS=1 (conv1 + layer1
     frozen) — that semantics presumes PRETRAINED caffe weights, so it only
-    applies to the ``norm="frozen"`` backbone; a from-scratch GroupNorm
-    backbone trains its stem (freezing random weights would silently cap
-    quality).
+    applies to the ``norm="frozen"`` backbone; a from-scratch GroupNorm or
+    affine backbone trains its stem (freezing random weights would silently
+    cap quality).  ``train_bn`` (the "affine" norm mode) lets the per-channel
+    scale/bias train — REQUIRED there, because affine mode zero-initialises
+    the residual-branch scales (zero-gamma) and a zeroed-out update would
+    leave every residual branch permanently dead.
     """
     p = _path_str(path)
     segs = p.split("/")
@@ -69,9 +73,9 @@ def param_label(path, _leaf, freeze_stem: bool = True) -> str:
     # GroupNorm ("group" backbone) affine params DO train (no decay).
     if "gn" in segs:
         return "plain"
-    # Frozen: all BN constants, the stem, and layer1 (FIXED_BLOCKS=1).
+    # BN constants: frozen (pretrained) unless in trainable-affine mode.
     if any(s.startswith("bn") or s.endswith("_bn") for s in segs):
-        return "frozen"
+        return "plain" if train_bn else "frozen"
     # Stem conv (directly under the backbone — NOT the bottleneck-internal
     # convs that share the name "conv1") and all of layer1.
     if freeze_stem and "backbone_net" in segs:
@@ -103,7 +107,8 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
             lambda params: jax.tree_util.tree_map_with_path(
                 functools.partial(
                     param_label,
-                    freeze_stem=cfg.backbone.norm == "frozen"),
+                    freeze_stem=cfg.backbone.norm == "frozen",
+                    train_bn=cfg.backbone.norm == "affine"),
                 params),
         ),
     )
@@ -146,17 +151,19 @@ def compute_losses(model: StereoRCNN, model_params, batch: Batch,
     anchors = generate_anchors(cfg.anchors, im_h, im_w)
     rngs = jax.random.split(rng, 2 * b)
     at = jax.vmap(lambda g, r: anchor_targets(anchors, g, cfg.rpn,
-                                              im_h, im_w, r))(
+                                              im_h, im_w, r,
+                                              off=cfg.box_off))(
         batch.gt, rngs[:b])
     rpn_l = jax.vmap(rpn_losses)(logits, deltas, at)
 
     # Proposals feed the second stage as constants (no grad through boxes).
     sel = functools.partial(select_proposals, anchors=anchors, im_h=im_h,
-                            im_w=im_w, cfg=cfg.rpn, train=True)
+                            im_w=im_w, cfg=cfg.rpn, train=True,
+                            off=cfg.box_off)
     props = jax.vmap(sel)(jax.lax.stop_gradient(logits),
                           jax.lax.stop_gradient(deltas))
     rt = jax.vmap(lambda pl, pr, pv, g, r: proposal_targets(
-        pl, pr, pv, g, cfg.rcnn, r))(
+        pl, pr, pv, g, cfg.rcnn, r, off=cfg.box_off))(
         props.left, props.right, props.valid, batch.gt, rngs[b:])
 
     pooled = roi_features(model, feats_l, feats_r, rt.rois_left,

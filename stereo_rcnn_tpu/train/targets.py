@@ -111,8 +111,15 @@ def _ignore_fraction(boxes: jnp.ndarray, gt: GroundTruth) -> jnp.ndarray:
 
 
 def anchor_targets(anchors: jnp.ndarray, gt: GroundTruth, cfg: RPNConfig,
-                   im_h: float, im_w: float, rng: jax.Array) -> AnchorTargets:
-    """RPN targets for one image (vmap over batch)."""
+                   im_h: float, im_w: float, rng: jax.Array,
+                   off: float = 0.0) -> AnchorTargets:
+    """RPN targets for one image (vmap over batch).
+
+    ``off`` is the box-width convention offset (``Config.box_off``): the
+    reference's ``bbox_overlaps`` and ``bbox_transform`` both use the
+    legacy "+1" widths, which shifts anchor IoUs against the 0.7/0.3
+    thresholds by sub-pixel amounts.
+    """
     a = anchors.shape[0]
     # allowed_border=0: only anchors fully inside the image participate
     # (reference _AnchorTargetLayer ``self._allowed_border = 0``).
@@ -121,7 +128,7 @@ def anchor_targets(anchors: jnp.ndarray, gt: GroundTruth, cfg: RPNConfig,
               (anchors[:, 2] <= im_w + ab) & (anchors[:, 3] <= im_h + ab))
 
     gt_union = union_box(gt.left, gt.right)
-    iou = pairwise_iou(anchors, gt_union)                  # [A, G]
+    iou = pairwise_iou(anchors, gt_union, off)             # [A, G]
     # Only inside anchors participate (the reference subsets to inside
     # anchors BEFORE computing overlaps, so the best-anchor guarantee is
     # taken over inside anchors only).
@@ -138,9 +145,13 @@ def anchor_targets(anchors: jnp.ndarray, gt: GroundTruth, cfg: RPNConfig,
     labels = jnp.where(max_iou >= cfg.positive_overlap, 1, labels)
     # Each gt's best anchor is positive even below threshold —
     # UNCONDITIONALLY, as in the reference (labels[gt_argmax_overlaps] = 1).
-    best_per_gt = jnp.where(gt.valid, iou.argmax(axis=0), -1)  # [G]
+    # Guarded against all-zero IoU columns: a gt overlapping NO inside
+    # anchor would otherwise promote argmax=0 (an arbitrary anchor) to
+    # positive and regress it toward a possibly distant box.
+    best_ok = gt.valid & (iou.max(axis=0) > 0.0)               # [G]
+    best_per_gt = jnp.where(best_ok, iou.argmax(axis=0), -1)   # [G]
     is_best = jnp.zeros((a,), bool).at[best_per_gt].set(
-        gt.valid, mode="drop")
+        best_ok, mode="drop")
     labels = jnp.where(is_best, 1, labels)
     labels = jnp.where(inside, labels, -1)
 
@@ -162,7 +173,8 @@ def anchor_targets(anchors: jnp.ndarray, gt: GroundTruth, cfg: RPNConfig,
     weights = (fg_sel | bg_sel).astype(jnp.float32)
     matched_left = gt.left[argmax_gt]
     matched_right = gt.right[argmax_gt]
-    box_targets = encode_stereo_boxes(anchors, matched_left, matched_right)
+    box_targets = encode_stereo_boxes(anchors, matched_left, matched_right,
+                                      off)
     return AnchorTargets(labels=labels, weights=weights,
                          box_targets=box_targets, num_fg=n_fg,
                          num_sampled=weights.sum())
@@ -185,7 +197,8 @@ class RoiTargets(NamedTuple):
 
 def proposal_targets(prop_left: jnp.ndarray, prop_right: jnp.ndarray,
                      prop_valid: jnp.ndarray, gt: GroundTruth,
-                     cfg: RCNNConfig, rng: jax.Array) -> RoiTargets:
+                     cfg: RCNNConfig, rng: jax.Array,
+                     off: float = 0.0) -> RoiTargets:
     """Sample second-stage rois + build all head targets for one image.
 
     Fixed output size S = cfg.rois_per_image.  GT pairs are appended to the
@@ -200,7 +213,7 @@ def proposal_targets(prop_left: jnp.ndarray, prop_right: jnp.ndarray,
     cand_valid = jnp.concatenate([prop_valid, gt.valid], axis=0)
 
     iou = pairwise_iou(union_box(cand_left, cand_right),
-                       union_box(gt.left, gt.right))
+                       union_box(gt.left, gt.right), off)
     iou = jnp.where(gt.valid[None, :], iou, 0.0)
     max_iou = jnp.where(cand_valid, iou.max(axis=1), 0.0)
     argmax_gt = iou.argmax(axis=1)
@@ -236,7 +249,7 @@ def proposal_targets(prop_left: jnp.ndarray, prop_right: jnp.ndarray,
     cls = jnp.where(sel_fg, gt.cls[g_idx], 0).astype(jnp.int32)
 
     box_targets = encode_stereo_boxes(rois_l, gt.left[g_idx],
-                                      gt.right[g_idx]) \
+                                      gt.right[g_idx], off) \
         / jnp.asarray(cfg.bbox_target_stds)
     dim_targets = gt.dims[g_idx] - jnp.asarray(cfg.mean_dims_hwl)
     orien_targets = jnp.stack([jnp.sin(gt.alpha[g_idx]),

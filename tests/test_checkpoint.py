@@ -34,3 +34,28 @@ def test_checkpoint_roundtrip(tmp_path):
 
 def test_latest_step_missing_dir(tmp_path):
     assert latest_step(str(tmp_path / "nope")) is None
+
+
+def test_params_export_roundtrip(tmp_path):
+    """Params-only export restores into an identically-structured template
+    (pure IO — the bench.py weight-swap path), and REFUSES a mismatched
+    template instead of silently running with wrong weights."""
+    import pytest
+    from stereo_rcnn_tpu.train.checkpoint import export_params, restore_params
+
+    cfg = tiny_test_config().replace(compute_dtype="float32")
+    state = init_train_state(cfg, jax.random.PRNGKey(0), steps_per_epoch=5)
+    export = {"params": jax.device_get(state.params)["model"]}
+    path = str(tmp_path / "params_export")
+    export_params(path, export)
+
+    from stereo_rcnn_tpu.models import init_params
+    template = jax.device_get(init_params(cfg, jax.random.PRNGKey(9)))
+    restored = restore_params(path, template)
+    a = export["params"]["rcnn_head"]["fc6"]["kernel"]
+    b = restored["params"]["rcnn_head"]["fc6"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    bad = {"params": {"nope": np.zeros((3, 3), np.float32)}}
+    with pytest.raises(Exception):
+        restore_params(path, bad)

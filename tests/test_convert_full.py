@@ -127,8 +127,14 @@ class TorchStereoRCNN(tnn.Module):
         p5 = self.RCNN_toplayer(c5)
 
         def up_add(top, lat):
-            up = top.repeat_interleave(2, 2).repeat_interleave(2, 3)
-            return up[:, :, :lat.shape[2], :lat.shape[3]] + lat
+            # Reference-exact: resnet.py _upsample_add uses
+            # F.upsample(..., mode='bilinear') to the lateral's size
+            # (align_corners=False, the half-pixel-center convention —
+            # same as jax.image.resize method='linear').
+            up = tnn.functional.interpolate(
+                top, size=lat.shape[2:], mode="bilinear",
+                align_corners=False)
+            return up + lat
 
         p4 = up_add(p5, self.RCNN_latlayer1(c4))
         p3 = up_add(p4, self.RCNN_latlayer2(c3))

@@ -86,3 +86,23 @@ def test_difficulty_gating():
     res = evaluate(gt, det, metric="3d")
     assert res["easy"] == 0.0            # no valid easy gt
     assert res["moderate"] > 99.0
+
+
+def test_ignored_gt_absorbs_duplicate_detections():
+    """Devkit semantics: an ignored gt (too hard for the difficulty) can
+    absorb ANY number of detections — duplicates become "ignored", never
+    FP.  Regression test for the round-2 advisor finding (taken[g] was set
+    for ignored-gt matches, so the second duplicate fell through to FP)."""
+    gt = [FrameObjects(
+        box2d=np.array([[0.0, 0.0, 100.0, 60.0],      # valid (tall)
+                        [200.0, 0.0, 230.0, 25.0]]),  # short -> easy-ignored
+        box3d=np.array([[0, 1.6, 10, 1.5, 1.6, 3.9, 0.0],
+                        [5, 1.6, 40, 1.5, 1.6, 3.9, 0.0]]),
+        score=np.ones(2), occlusion=np.zeros(2, int),
+        truncation=np.zeros(2))]
+    det = [_frame([[0, 1.6, 10, 1.5, 1.6, 3.9, 0.0],
+                   [5, 1.6, 40, 1.5, 1.6, 3.9, 0.0],   # dup 1 on ignored gt
+                   [5, 1.6, 40, 1.5, 1.6, 3.9, 0.0]],  # dup 2 on ignored gt
+                  scores=[0.9, 0.8, 0.7])]
+    res = evaluate(gt, det, metric="3d", iou_thresh=0.7)
+    assert res["easy"] > 99.0    # both duplicates ignored, zero FP

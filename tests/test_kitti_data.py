@@ -83,8 +83,12 @@ def test_pipeline_ragged_tail_padded(kitti_root):
     tail = batches[1]
     assert tail.n_valid == 1
     assert tail.images_left.shape[0] == 3   # static shape, padded
-    # Pad replicas repeat the final frame.
-    np.testing.assert_array_equal(tail.images_left[1], tail.images_left[0])
+    # Pad replicas wrap around to the start of the epoch order (frames
+    # 0, 1), not a repeat of the final frame.
+    np.testing.assert_array_equal(tail.images_left[1],
+                                  batches[0].images_left[0])
+    np.testing.assert_array_equal(tail.images_left[2],
+                                  batches[0].images_left[1])
 
 
 def test_native_preproc_matches_numpy():
@@ -99,3 +103,23 @@ def test_native_preproc_matches_numpy():
     np.testing.assert_allclose(out, ref, atol=0.75)   # rounding differences
     # Padding region is exactly zero in both.
     assert (out[62:] == 0).all() and (ref[62:] == 0).all()
+
+
+def test_pipeline_tail_pads_with_wraparound_frames():
+    """The ragged tail pads with wrap-around frames from this epoch's
+    order — NOT by repeating the last frame (which over-weighted that one
+    frame in training every epoch; round-2 advisor finding)."""
+    import types
+    import numpy as np
+    from stereo_rcnn_tpu.data.pipeline import KittiPipeline
+
+    fake = types.SimpleNamespace(
+        ds=types.SimpleNamespace(__len__=lambda self: 10),
+        shuffle=False, rng=np.random.RandomState(0), batch_size=4)
+    fake.ds = [None] * 10          # only len() is used
+    batches, counts = KittiPipeline._epoch_indices(fake)
+    assert batches.shape == (3, 4)
+    assert counts == [4, 4, 2]
+    tail = batches[-1]
+    np.testing.assert_array_equal(tail[:2], [8, 9])      # real frames
+    np.testing.assert_array_equal(tail[2:], [0, 1])      # wrap-around pad

@@ -78,3 +78,40 @@ def test_solver_jits():
     fn = jax.jit(lambda o: solve_pose(o, d, alpha, kidx, calib, iters=30))
     res = fn(obs)
     assert np.isfinite(np.asarray(res.position)).all()
+
+
+def test_solve_truncated_edge_constraints_dropped():
+    """A car clipped by the left image border: the detector's box edge sits
+    AT the border, not at the 3D corner's projection.  Zeroing the left-edge
+    constraints (obs 0 = ul left image, obs 4 = ul right image; what
+    ``inference.solve_and_align`` does for border-touching edges) must
+    recover the pose from the remaining observations, while feeding the
+    clipped edges as-is skews the solution.  Reference:
+    ``box_estimator.py::solve_x_y_z_theta_from_kpt`` truncation handling."""
+    calib = default_kitti_calib()
+    dims, ry = [1.5, 1.6, 3.9], 0.3
+    # Two truncation severities: keypoint still visible / keypoint also
+    # clipped out (only 4 active constraints — exercises the LM damping +
+    # trust-region step bound; an unbounded GN diverged to ~1e15 m here).
+    for center in ([-7.5, 1.65, 9.0], [-9.0, 1.65, 9.0]):
+        obs, d, alpha, kidx = make_obs(center, dims, ry, calib)
+        assert float(obs[0]) < 0.0       # truly truncated on the left
+        # What a detector bound to the image would output: clipped to 0.
+        obs_clip = jnp.maximum(obs, 0.0)
+        kpt_ok = float(obs[6]) > 1.5     # keypoint inside the image?
+        w_trunc = jnp.ones((1, 7)).at[0, 0].set(0.0).at[0, 4].set(0.0)
+        w_trunc = w_trunc.at[0, 6].set(1.0 if kpt_ok else 0.0)
+
+        res_w = solve_batch(obs_clip[None], jnp.asarray(d)[None],
+                            jnp.asarray(alpha)[None],
+                            jnp.asarray(kidx)[None],
+                            calib, obs_weights=w_trunc, iters=60)
+        res_raw = solve_batch(obs_clip[None], jnp.asarray(d)[None],
+                              jnp.asarray(alpha)[None],
+                              jnp.asarray(kidx)[None], calib, iters=60)
+        err_w = float(jnp.linalg.norm(res_w.position[0] -
+                                      jnp.asarray(center)))
+        err_raw = float(jnp.linalg.norm(res_raw.position[0] -
+                                        jnp.asarray(center)))
+        assert err_w < 0.25, (center, err_w)
+        assert err_raw > 2 * err_w, (center, err_raw, err_w)

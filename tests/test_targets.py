@@ -149,3 +149,18 @@ def test_proposal_targets_all_background():
     tgt = proposal_targets(pl, pl, pv, gt, cfg, jax.random.PRNGKey(2))
     assert int(tgt.num_fg) == 0
     assert (np.asarray(tgt.cls) == 0).all()
+
+
+def test_anchor_targets_zero_iou_gt_promotes_nothing():
+    """A valid gt overlapping NO inside anchor must not promote an
+    arbitrary anchor (argmax of an all-zero IoU column is 0).  Regression
+    test for the round-2 advisor finding."""
+    acfg = AnchorConfig(strides=(4,), scales=(32.0,))
+    anchors = generate_anchors(acfg, 64, 64)
+    # gt far outside the 64x64 image: zero IoU with every inside anchor.
+    gt = make_gt([[300.0, 300.0, 340.0, 340.0]],
+                 [[290.0, 300.0, 330.0, 340.0]])
+    cfg = RPNConfig(batch_size=32)
+    tgt = anchor_targets(anchors, gt, cfg, 64, 64, jax.random.PRNGKey(0))
+    assert int(tgt.num_fg) == 0
+    assert not bool((tgt.labels == 1).any())

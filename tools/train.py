@@ -54,7 +54,7 @@ def main():
     from stereo_rcnn_tpu.parallel import (jit_train_step, make_mesh,
                                           replicate, shard_batch)
     from stereo_rcnn_tpu.train import Batch, init_train_state, make_train_step
-    from stereo_rcnn_tpu.train.checkpoint import (latest_step,
+    from stereo_rcnn_tpu.train.checkpoint import (export_params, latest_step,
                                                   restore_checkpoint,
                                                   save_checkpoint)
     from stereo_rcnn_tpu.utils.metrics import MetricsLogger, StepTimer
@@ -126,25 +126,41 @@ def main():
     with mesh:
         state = replicate(mesh, state)
 
-        # Synthetic pools are staged on DEVICE once: re-uploading each
-        # ~190 MB batch every step through a tunneled backend costs far
-        # more than the step itself (observed 12 s/step vs ~0.5 s).
-        staged = None
-        if args.synthetic:
-            staged = [shard_batch(mesh, Batch(
+        def to_device(il, ir, gt):
+            return shard_batch(mesh, Batch(
                 images_left=jnp.asarray(il), images_right=jnp.asarray(ir),
                 gt=jax.tree.map(jnp.asarray, gt)))
-                for il, ir, gt in batches()]
+
+        # Synthetic pools are staged on DEVICE up to a byte cap:
+        # re-uploading each ~190 MB batch every step through a tunneled
+        # backend costs far more than the step itself (observed 12 s/step
+        # vs ~0.5 s), but staging an UNBOUNDED pool OOMs HBM on long runs
+        # (a 2000-scene pool at batch 16 is >20 GB of inputs on a 16 GB
+        # chip).  Batches past the cap stream per step — device_put is
+        # async, so the upload overlaps the previous step's compute.
+        staged, n_stage = [], 0
+        if args.synthetic:
+            import numpy as np
+            il0, ir0, gt0 = pool[0]
+            batch_nbytes = (il0.nbytes + ir0.nbytes +
+                            sum(np.asarray(x).nbytes
+                                for x in jax.tree.leaves(gt0)))
+            cap = float(os.environ.get("STAGE_GB", "6")) * 1e9
+            n_stage = min(len(pool), max(1, int(cap // max(batch_nbytes, 1))))
+            staged = [to_device(*pool[i]) for i in range(n_stage)]
+            if n_stage < len(pool):
+                print(f"staged {n_stage}/{len(pool)} batches "
+                      f"({batch_nbytes * n_stage / 1e9:.1f} GB) on device; "
+                      f"remainder streams per step", flush=True)
 
         def device_batches():
-            if staged is not None:
+            if args.synthetic:
                 yield from staged
+                for i in range(n_stage, len(pool)):
+                    yield to_device(*pool[i])
                 return
             for il, ir, gt in batches():
-                yield shard_batch(mesh, Batch(
-                    images_left=jnp.asarray(il),
-                    images_right=jnp.asarray(ir),
-                    gt=jax.tree.map(jnp.asarray, gt)))
+                yield to_device(il, ir, gt)
 
         start_epoch = int(state.step) // steps_per_epoch
         for epoch in range(start_epoch, cfg.train.epochs):
@@ -165,7 +181,14 @@ def main():
                                           timer.throughput(global_batch)})
             if ((epoch + 1) % args.ckpt_every == 0
                     or epoch + 1 == cfg.train.epochs):
-                save_checkpoint(args.ckpt_dir, jax.device_get(state))
+                host_state = jax.device_get(state)
+                save_checkpoint(args.ckpt_dir, host_state)
+                # Params-only export for inference consumers (bench.py,
+                # demo): with "frozen"/"affine" norms this tree is
+                # IDENTICAL to the default inference tree, so restoring it
+                # is pure IO — no recompile (see train/checkpoint.py).
+                export_params(os.path.join(args.ckpt_dir, "params_export"),
+                              {"params": host_state.params["model"]})
                 print(f"epoch {epoch + 1}/{cfg.train.epochs} done, "
                       f"checkpoint saved to {args.ckpt_dir}")
             else:
