@@ -240,6 +240,43 @@ def frame_objects_from_labels(objs, evaluated_class: str = "Car",
     )
 
 
+def frame_objects_from_outputs(det_out, gt, n_frames: int):
+    """Unpack the jit pipeline's padded ``Detections3D`` + packed
+    ``GroundTruth`` into per-frame ``(gts, dets)`` FrameObjects lists.
+
+    Shared by the synthetic-scene evaluation paths (``tools/smoke_e2e.py``,
+    ``tools/eval_synth.py``): synthetic gts carry no occlusion/truncation
+    and no ignore regions, so those fields are zeros/empty.
+    """
+    import jax
+
+    det = jax.device_get(det_out.det)
+    pos = np.asarray(det_out.position)
+    rys = np.asarray(det_out.ry)
+    gts, dets = [], []
+    for b in range(n_frames):
+        sel = np.nonzero(np.asarray(det.valid[b]))[0]
+        dets.append(FrameObjects(
+            box2d=np.asarray(det.box_left[b])[sel],
+            box3d=np.concatenate(
+                [pos[b][sel], np.asarray(det.dims[b])[sel],
+                 rys[b][sel][:, None]], -1),
+            score=np.asarray(det.score[b])[sel],
+            occlusion=np.zeros(len(sel), int),
+            truncation=np.zeros(len(sel))))
+        gsel = np.nonzero(np.asarray(gt.valid[b]))[0]
+        gts.append(FrameObjects(
+            box2d=np.asarray(gt.left[b])[gsel],
+            box3d=np.concatenate(
+                [np.asarray(gt.location[b])[gsel],
+                 np.asarray(gt.dims[b])[gsel],
+                 np.asarray(gt.ry[b])[gsel][:, None]], -1),
+            score=np.ones(len(gsel)),
+            occlusion=np.zeros(len(gsel), int),
+            truncation=np.zeros(len(gsel))))
+    return gts, dets
+
+
 # ---------------------------------------------------------------------------
 # KITTI result-file IO (the reference's test_net.py output format).
 # ---------------------------------------------------------------------------

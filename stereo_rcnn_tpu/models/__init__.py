@@ -4,6 +4,8 @@ from stereo_rcnn_tpu.models.stereo_rpn import (Proposals, StereoRPNHead,
                                                select_proposals)
 from stereo_rcnn_tpu.models.heads import KeypointHead, RCNNHead, RCNNOutputs
 from stereo_rcnn_tpu.models.detector import (Detections, StereoRCNN,
-                                             build_model, forward_raw,
-                                             init_params, make_inference_fn,
-                                             postprocess, roi_features)
+                                             build_model, decode_keypoints,
+                                             forward_raw, init_params,
+                                             make_inference_fn,
+                                             postprocess_boxes,
+                                             roi_features, run_keypoints)

@@ -55,7 +55,8 @@ class StereoRCNN(nn.Module):
         self.backbone_net = ResNetFPN(
             depth=c.backbone.depth, fpn_dim=c.backbone.fpn_dim,
             frozen_stages=c.backbone.frozen_stages, dtype=dtype,
-            norm=c.backbone.norm, upsample=c.backbone.fpn_upsample)
+            norm=c.backbone.norm, upsample=c.backbone.fpn_upsample,
+            remat=c.backbone.remat)
         self.rpn_head = StereoRPNHead(
             num_anchors=c.anchors.num_anchors_per_cell,
             conv_dim=c.rpn.conv_dim, dtype=dtype)
@@ -77,8 +78,14 @@ class StereoRCNN(nn.Module):
         return self.kpt_head(pooled_left)
 
     def __call__(self, images_left: jnp.ndarray, images_right: jnp.ndarray):
-        """Init-friendly full pass on one batch (inference path)."""
-        return forward_raw(self, images_left, images_right, train=False)
+        """Init-friendly full pass on one batch (inference path).
+
+        Runs the keypoint branch on one RoI's pooled features so that
+        ``init`` creates its parameters (the inference fast path defers
+        keypoints until after NMS and doesn't touch them here)."""
+        raw = forward_raw(self, images_left, images_right, train=False)
+        self.kpt_head(raw["kpt_feats"][0, :1])
+        return raw
 
 
 # ---------------------------------------------------------------------------
@@ -109,9 +116,15 @@ def forward_raw(model: StereoRCNN, images_left: jnp.ndarray,
 
     pooled = roi_features(model, feats_l, feats_r, props.left, props.right)
     outputs = model.heads(pooled["concat"])
-    kpt_logits = model.keypoints(pooled["left_kpt"])
 
+    # The keypoint CONVS are deferred to after NMS (run_keypoints): at
+    # ~0.9 GFLOP per RoI they were ~30% of inference time when applied to
+    # all test_post_nms_top_n proposals, yet only the ~max_detections
+    # survivors are ever decoded.  The pooled 14x14 features themselves
+    # are kept — the fused Pallas kernel produces them from the same
+    # sampling pass as the 7x7 pools, so they are nearly free.
     n = props.left.shape[1]
+    pk = pooled["left_kpt"].shape[1]
     return {
         "rpn_logits": logits,
         "rpn_deltas": deltas,
@@ -119,7 +132,8 @@ def forward_raw(model: StereoRCNN, images_left: jnp.ndarray,
         "proposals": props,
         "rcnn": jax.tree.map(lambda x: x.reshape(b, n, *x.shape[1:]),
                              outputs),
-        "kpt_logits": kpt_logits.reshape(b, n, *kpt_logits.shape[1:]),
+        "kpt_feats": pooled["left_kpt"].reshape(
+            b, n, pk, pk, pooled["left_kpt"].shape[-1]),
     }
 
 
@@ -184,15 +198,19 @@ class Detections(NamedTuple):
     valid: jnp.ndarray        # [B, D] bool
 
 
-def postprocess(raw: dict, cfg: Config, im_h: int, im_w: int) -> Detections:
+def postprocess_boxes(raw: dict, cfg: Config, im_h: int, im_w: int):
     """Decode head outputs into final padded detections, per image.
 
     Reference: the decode + per-class threshold + NMS block of ``demo.py`` /
     ``test_net.py`` (SURVEY.md §3.1 "post" step).
+
+    Returns ``(det, idx, rois)``: detections whose keypoint fields are
+    placeholders (filled by ``run_keypoints``), the [B, D] surviving
+    proposal indices, and the [B, D, 4] PROPOSAL boxes those detections
+    decoded from (the keypoint bins are defined against the proposal).
     """
 
-    def one_image(props: Proposals, rcnn: RCNNOutputs, kpt_logits):
-        n = props.left.shape[0]
+    def one_image(props: Proposals, rcnn: RCNNOutputs):
         rc = cfg.rcnn
         probs = jax.nn.softmax(rcnn.cls_logits, axis=-1)     # [N, K]
         # Car-only pipeline: class 1.  (Generalises by vmapping over class.)
@@ -214,39 +232,66 @@ def postprocess(raw: dict, cfg: Config, im_h: int, im_w: int) -> Detections:
         dims = jnp.asarray(rc.mean_dims_hwl) + rcnn.dims[idx, 1, :]
         sin_a, cos_a = rcnn.orien[idx, 1, 0], rcnn.orien[idx, 1, 1]
         alpha = jnp.arctan2(sin_a, cos_a)
-
-        # Keypoint decode (reference semantics, SURVEY.md §3.4 fact 5):
-        # channels 0..3 form a JOINT distribution over (corner type, u-bin)
-        # — softmax over 4*G — localising which vertical edge is visible and
-        # where; channels 4..5 are independent G-bin boundary distributions.
-        # Bins span the PROPOSAL RoI the keypoint branch pooled (the same
-        # box the training targets in train/targets.py are defined against),
-        # NOT the regressed box — decoding against the regressed box would
-        # shift kpt_u/border_u by the regression delta.
-        kl = kpt_logits[idx]                                 # [D, 6, G]
-        g = kl.shape[-1]
-        d = kl.shape[0]
-        persp = kl[:, :4, :].reshape(d, 4 * g)
-        persp_prob = jax.nn.softmax(persp, axis=-1)
-        flat_idx = jnp.argmax(persp, axis=-1)                # [D]
-        kpt_type = (flat_idx // g).astype(jnp.int32)
-        kpt_bin = (flat_idx % g).astype(jnp.float32)
-        peak = jnp.take_along_axis(persp_prob, flat_idx[:, None], 1)[:, 0]
-        roi = props.left[idx]                                # [D, 4]
-        w = jnp.maximum(roi[:, 2] - roi[:, 0], 1e-3)
-        kpt_u = roi[:, 0] + (kpt_bin + 0.5) / g * w          # [D]
-        border_bin = jnp.argmax(kl[:, 4:6, :], axis=-1).astype(jnp.float32)
-        border_u = roi[:, 0:1] + (border_bin + 0.5) / g * w[:, None]
-        return Detections(
+        d = idx.shape[0]
+        zeros = jnp.zeros((d,), jnp.float32)
+        det = Detections(
             box_left=box_l, box_right=box_r, score=score,
             cls=jnp.ones((rc.max_detections,), jnp.int32),
             dims=dims, alpha=alpha,
-            kpt_u=kpt_u, kpt_type=kpt_type, kpt_prob=peak, border_u=border_u,
+            kpt_u=zeros, kpt_type=jnp.zeros((d,), jnp.int32),
+            kpt_prob=zeros, border_u=jnp.zeros((d, 2), jnp.float32),
             valid=valid & (score > 0),
         )
+        return det, idx, props.left[idx]
 
-    return jax.vmap(one_image)(raw["proposals"], raw["rcnn"],
-                               raw["kpt_logits"])
+    return jax.vmap(one_image)(raw["proposals"], raw["rcnn"])
+
+
+def decode_keypoints(kpt_logits: jnp.ndarray, rois: jnp.ndarray):
+    """Keypoint decode (reference semantics, SURVEY.md §3.4 fact 5):
+    channels 0..3 form a JOINT distribution over (corner type, u-bin)
+    — softmax over 4*G — localising which vertical edge is visible and
+    where; channels 4..5 are independent G-bin boundary distributions.
+    Bins span the PROPOSAL RoI the keypoint branch pooled (the same
+    box the training targets in train/targets.py are defined against),
+    NOT the regressed box — decoding against the regressed box would
+    shift kpt_u/border_u by the regression delta.
+
+    kpt_logits: [D, 6, G]; rois: [D, 4] proposal boxes.
+    """
+    kl = kpt_logits
+    d, _, g = kl.shape
+    persp = kl[:, :4, :].reshape(d, 4 * g)
+    persp_prob = jax.nn.softmax(persp, axis=-1)
+    flat_idx = jnp.argmax(persp, axis=-1)                # [D]
+    kpt_type = (flat_idx // g).astype(jnp.int32)
+    kpt_bin = (flat_idx % g).astype(jnp.float32)
+    peak = jnp.take_along_axis(persp_prob, flat_idx[:, None], 1)[:, 0]
+    w = jnp.maximum(rois[:, 2] - rois[:, 0], 1e-3)
+    kpt_u = rois[:, 0] + (kpt_bin + 0.5) / g * w         # [D]
+    border_bin = jnp.argmax(kl[:, 4:6, :], axis=-1).astype(jnp.float32)
+    border_u = rois[:, 0:1] + (border_bin + 0.5) / g * w[:, None]
+    return kpt_u, kpt_type, peak, border_u
+
+
+def run_keypoints(model: StereoRCNN, params, raw: dict, det: Detections,
+                  idx: jnp.ndarray, rois: jnp.ndarray) -> Detections:
+    """Run the keypoint convs on the NMS SURVIVORS only and fill the
+    keypoint fields of ``det``.
+
+    The branch costs ~0.9 GFLOP per RoI; gathering the already-pooled
+    14x14 features for the D<<N surviving proposals before the convs cuts
+    the branch's work ~10x with bit-identical results (same features,
+    same weights, fewer rows).
+    """
+    kf = jax.vmap(lambda f, i: f[i])(raw["kpt_feats"], idx)  # [B,D,pk,pk,C]
+    b, d = kf.shape[:2]
+    kl = model.apply(params, kf.reshape(b * d, *kf.shape[2:]),
+                     method=lambda m, x: m.keypoints(x))
+    kl = kl.reshape(b, d, *kl.shape[1:])                     # [B, D, 6, G]
+    kpt_u, kpt_type, peak, border_u = jax.vmap(decode_keypoints)(kl, rois)
+    return det._replace(kpt_u=kpt_u, kpt_type=kpt_type, kpt_prob=peak,
+                        border_u=border_u)
 
 
 def build_model(cfg: Config) -> StereoRCNN:
@@ -276,6 +321,7 @@ def make_inference_fn(cfg: Config, im_h: int | None = None,
         raw = model.apply(params, images_left, images_right,
                           method=lambda m, l, r: forward_raw(m, l, r,
                                                              train=False))
-        return postprocess(raw, cfg, h, w)
+        det, idx, rois = postprocess_boxes(raw, cfg, h, w)
+        return run_keypoints(model, params, raw, det, idx, rois)
 
     return fn

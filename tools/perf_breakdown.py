@@ -36,8 +36,9 @@ def main():
     from stereo_rcnn_tpu.geometry.anchors import generate_anchors
     from stereo_rcnn_tpu.inference import solve_and_align, broadcast_calib
     from stereo_rcnn_tpu.models import build_model, init_params
-    from stereo_rcnn_tpu.models.detector import (forward_raw, postprocess,
-                                                 roi_features)
+    from stereo_rcnn_tpu.models.detector import (forward_raw,
+                                                 postprocess_boxes,
+                                                 roi_features, run_keypoints)
     from stereo_rcnn_tpu.models.stereo_rpn import select_proposals
 
     cfg = Config()
@@ -91,26 +92,28 @@ def main():
         raw = model.apply(params, l, r,
                           method=lambda m, a, c: forward_raw(m, a, c,
                                                              train=False))
-        return raw["rcnn"].cls_logits.sum(), raw["kpt_logits"].sum()
+        return raw["rcnn"].cls_logits.sum(), raw["kpt_feats"].sum()
 
     def with_post(params, l, r):
         raw = model.apply(params, l, r,
                           method=lambda m, a, c: forward_raw(m, a, c,
                                                              train=False))
-        det = postprocess(raw, cfg, h, w)
-        return det.box_left.sum(), det.valid.sum()
+        det, idx, rois = postprocess_boxes(raw, cfg, h, w)
+        det = run_keypoints(model, params, raw, det, idx, rois)
+        return det.box_left.sum(), det.kpt_u.sum(), det.valid.sum()
 
     def full_3d(params, l, r):
         raw = model.apply(params, l, r,
                           method=lambda m, a, c: forward_raw(m, a, c,
                                                              train=False))
-        det = postprocess(raw, cfg, h, w)
+        det, idx, rois = postprocess_boxes(raw, cfg, h, w)
+        det = run_keypoints(model, params, raw, det, idx, rois)
         out = solve_and_align(det, l, r, calib_b, cfg)
         return out.position.sum(), out.z_refined.sum()
 
     stages = [("backbone(LR)", backbone_only), ("+rpn+proposals", upto_rpn),
               ("+roialign", upto_roialign), ("+heads", full_net),
-              ("+postprocess", with_post), ("+solve+align", full_3d)]
+              ("+postprocess+kpt", with_post), ("+solve+align", full_3d)]
 
     prev = 0.0
     print(f"batch={args.batch} impl={args.impl} res={h}x{w}")

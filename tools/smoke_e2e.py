@@ -24,36 +24,10 @@ import numpy as np
 
 def _score(det_out, gt, n_scenes):
     """Build (gts, dets) FrameObjects lists from padded pipeline output and
-    packed GroundTruth (which now carries 3D location/ry)."""
-    from stereo_rcnn_tpu.evalkit import FrameObjects
+    packed GroundTruth (shared helper in evalkit)."""
+    from stereo_rcnn_tpu.evalkit import frame_objects_from_outputs
 
-    det = jax.device_get(det_out.det)
-    pos = np.asarray(det_out.position)
-    rys = np.asarray(det_out.ry)
-    gts, dets = [], []
-    for b in range(n_scenes):
-        v = np.asarray(det.valid[b])
-        sel = np.nonzero(v)[0]
-        dets.append(FrameObjects(
-            box2d=np.asarray(det.box_left[b])[sel],
-            box3d=np.concatenate(
-                [pos[b][sel], np.asarray(det.dims[b])[sel],
-                 rys[b][sel][:, None]], -1),
-            score=np.asarray(det.score[b])[sel],
-            occlusion=np.zeros(len(sel), int),
-            truncation=np.zeros(len(sel))))
-        gv = np.asarray(gt.valid[b])
-        gsel = np.nonzero(gv)[0]
-        gts.append(FrameObjects(
-            box2d=np.asarray(gt.left[b])[gsel],
-            box3d=np.concatenate(
-                [np.asarray(gt.location[b])[gsel],
-                 np.asarray(gt.dims[b])[gsel],
-                 np.asarray(gt.ry[b])[gsel][:, None]], -1),
-            score=np.ones(len(gsel)),
-            occlusion=np.zeros(len(gsel), int),
-            truncation=np.zeros(len(gsel))))
-    return gts, dets
+    return frame_objects_from_outputs(det_out, gt, n_scenes)
 
 
 def main():

@@ -34,13 +34,19 @@ def parse_args():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--image-ext", default=".png")
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
+                   help="cpu: force local CPU devices (debug / CI; the "
+                        "sitecustomize ignores JAX_PLATFORMS, only an "
+                        "in-process config update works)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from stereo_rcnn_tpu.utils.cache import enable_compile_cache
-    enable_compile_cache("eval")
+    enable_compile_cache("eval", fingerprint=(args.platform == "cpu"))
     from stereo_rcnn_tpu.config import Config, tiny_test_config
     from stereo_rcnn_tpu.data import KittiDataset, KittiPipeline
     from stereo_rcnn_tpu.data.kitti import parse_label_file

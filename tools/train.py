@@ -41,13 +41,22 @@ def parse_args():
                    help="save a checkpoint every N epochs (the final epoch "
                         "always saves); on a tunneled backend each save is "
                         "a multi-minute full-state readback")
+    p.add_argument("--image-ext", default=".png",
+                   help="image file extension in the KITTI tree (.npy for "
+                        "fabricated test trees)")
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
+                   help="cpu: force local CPU devices (debug / CI; the "
+                        "sitecustomize ignores JAX_PLATFORMS, only an "
+                        "in-process config update works)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from stereo_rcnn_tpu.utils.cache import enable_compile_cache
-    enable_compile_cache("train")
+    enable_compile_cache("train", fingerprint=(args.platform == "cpu"))
     from stereo_rcnn_tpu.config import load_config, tiny_test_config
     from stereo_rcnn_tpu.data import KittiDataset, KittiPipeline
     from stereo_rcnn_tpu.data.synthetic import synthetic_batch
@@ -84,10 +93,29 @@ def main():
         steps_per_epoch = max(args.synthetic // global_batch, 1)
         # Pre-render once and reuse across epochs: host rendering would
         # otherwise serialize with (and starve) the device step queue.
+        # Rendered batches are cached on disk (~35 s/batch to render at
+        # 1280x384 on a 1-core host vs ~1 s to reload) so an interrupted
+        # run restarts without re-paying the render.
+        import numpy as np
+        from stereo_rcnn_tpu.train.targets import GroundTruth
+        cache_dir = os.path.join("runs", "synth_pool")
+        os.makedirs(cache_dir, exist_ok=True)
         print(f"rendering {steps_per_epoch} x {global_batch} synthetic "
               f"scenes...", flush=True)
-        pool = [synthetic_batch(cfg, global_batch, seed=s)[:3]
-                for s in range(steps_per_epoch)]
+
+        def render(s):
+            key = (f"{cfg.data.image_h}x{cfg.data.image_w}"
+                   f"_b{global_batch}_s{s}.npz")
+            path = os.path.join(cache_dir, key)
+            if os.path.exists(path):
+                z = np.load(path)
+                gt = GroundTruth(**{k: z[k] for k in GroundTruth._fields})
+                return z["il"], z["ir"], gt
+            il, ir, gt, _ = synthetic_batch(cfg, global_batch, seed=s)
+            np.savez(path, il=il, ir=ir, **gt._asdict())
+            return il, ir, gt
+
+        pool = [render(s) for s in range(steps_per_epoch)]
 
         def batches():
             yield from pool
@@ -96,7 +124,8 @@ def main():
         if len(ds) == 0:
             sys.exit(f"no KITTI data under {cfg.data.kitti_root}; "
                      f"use --synthetic N for smoke training")
-        pipe = KittiPipeline(cfg, ds, global_batch)
+        pipe = KittiPipeline(cfg, ds, global_batch,
+                             image_ext=args.image_ext)
         steps_per_epoch = pipe.steps_per_epoch()
 
         def batches():
