@@ -43,18 +43,35 @@ class StepTimer:
 
 class MetricsLogger:
     """CSV metrics sink + periodic stdout line (6-loss breakdown incl.
-    learned uncertainties, as the reference prints)."""
+    learned uncertainties, as the reference prints).
+
+    ``tb_dir`` additionally writes TensorBoard event files — the
+    reference's optional ``--use_tfboard`` tensorboardX path
+    (``trainval_net.py``, SURVEY.md §5 Metrics row).  Uses
+    ``torch.utils.tensorboard`` (torch is a baked dependency); degrades
+    to CSV-only with a warning if the writer is unavailable.
+    """
 
     def __init__(self, csv_path: Optional[str] = None,
-                 print_every: int = 20):
+                 print_every: int = 20, tb_dir: Optional[str] = None):
         self.csv_path = csv_path
         self.print_every = print_every
         self._writer = None
         self._file = None
         self._keys = None
+        self._tb = None
+        if tb_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(tb_dir)
+            except Exception as e:  # noqa: BLE001 — observability is optional
+                print(f"# tensorboard writer unavailable ({e}); CSV only")
 
     def log(self, step: int, metrics: Mapping[str, float]) -> None:
         metrics = {k: float(v) for k, v in metrics.items()}
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, v, step)
         if self.csv_path:
             if self._writer is None:
                 os.makedirs(os.path.dirname(self.csv_path) or ".",
@@ -76,3 +93,5 @@ class MetricsLogger:
     def close(self) -> None:
         if self._file:
             self._file.close()
+        if self._tb is not None:
+            self._tb.close()

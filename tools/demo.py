@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--out", default="demo_out.png")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
+                   help="cpu: force local CPU devices (the sitecustomize "
+                        "ignores JAX_PLATFORMS; only an in-process config "
+                        "update works)")
     return p.parse_args()
 
 
@@ -37,8 +41,11 @@ def main():
     args = parse_args()
     if not args.synthetic and not (args.left and args.right and args.calib):
         sys.exit("error: provide --left/--right/--calib, or --synthetic")
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from stereo_rcnn_tpu.utils.cache import enable_compile_cache
-    enable_compile_cache("demo")
+    enable_compile_cache("demo", fingerprint=(args.platform == "cpu"))
     from stereo_rcnn_tpu.config import Config, tiny_test_config
     from stereo_rcnn_tpu.geometry import (box3d_corners, default_kitti_calib,
                                           project)

@@ -48,6 +48,9 @@ def parse_args():
                    help="cpu: force local CPU devices (debug / CI; the "
                         "sitecustomize ignores JAX_PLATFORMS, only an "
                         "in-process config update works)")
+    p.add_argument("--tfboard", action="store_true",
+                   help="also write TensorBoard event files to "
+                        "<ckpt-dir>/tb (reference --use_tfboard)")
     return p.parse_args()
 
 
@@ -148,7 +151,9 @@ def main():
 
     step_fn = jit_train_step(make_train_step(cfg, steps_per_epoch), mesh)
     logger = MetricsLogger(os.path.join(args.ckpt_dir, "metrics.csv"),
-                           print_every=args.disp_interval)
+                           print_every=args.disp_interval,
+                           tb_dir=(os.path.join(args.ckpt_dir, "tb")
+                                   if args.tfboard else None))
     timer = StepTimer()
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
