@@ -73,7 +73,34 @@ def _flops_of(compiled) -> float:
         return 0.0
 
 
+def _backend_watchdog(
+        timeout_s: float = float(os.environ.get("BENCH_INIT_TIMEOUT_S",
+                                                "240"))):
+    """Fail FAST (with a diagnosis) if backend init hangs.
+
+    A wedged remote TPU terminal makes PJRT client creation block forever
+    (observed: a killed client during a large readback left the terminal's
+    session lock held; every later claim hung).  Without this, the bench
+    burns the driver's whole budget producing nothing; with it, the
+    failure is cheap and explained.  Disarmed as soon as devices() returns.
+    """
+    import threading
+
+    def blow_up():
+        print("bench: backend init did not complete within "
+              f"{timeout_s:.0f}s — TPU terminal unreachable/wedged; "
+              "no measurement possible", file=sys.stderr, flush=True)
+        os._exit(3)
+
+    timer = threading.Timer(timeout_s, blow_up)
+    timer.daemon = True
+    timer.start()
+    jax.devices()
+    timer.cancel()
+
+
 def main():
+    _backend_watchdog()
     from stereo_rcnn_tpu.config import Config
     from stereo_rcnn_tpu.data.synthetic import synthetic_batch
     from stereo_rcnn_tpu.inference import make_full_pipeline
