@@ -37,6 +37,11 @@ class PipelineBatch(NamedTuple):
     scales: np.ndarray         # [B] image resize factor
     calib: StereoCalib         # leaves [B, ...] — WORKING-resolution calib
     n_valid: int               # real (non-pad) frames in this batch
+    content_wh: np.ndarray = None  # [B, 2] letterboxed CONTENT extent (w, h)
+    #  in working-res px — smaller than the padded canvas when the source
+    #  aspect ratio differs (KITTI 1242x375 in a 1280x384 canvas leaves
+    #  ~8 px of right padding); the solver's truncation detection must
+    #  compare box edges against this, not the canvas.
 
 
 def load_image(path: str) -> np.ndarray:
@@ -89,7 +94,8 @@ class KittiPipeline:
         # calib varies per frame; baking one frame's calib into the jit
         # closure would skew every other frame's 3D solve).
         calib_s = jax.tree.map(np.asarray, calib.scale(scale))
-        return out_l, out_r, gt, scale, calib_s
+        content = np.asarray([sw * scale, sh * scale], np.float32)
+        return out_l, out_r, gt, scale, calib_s, content
 
     def _epoch_indices(self):
         """[n_batches, B] index array + per-batch valid counts.  The ragged
@@ -121,7 +127,9 @@ class KittiPipeline:
         scales = np.asarray([e[3] for e in ex], np.float32)
         calib = jax.tree.map(lambda *xs: np.stack(xs),
                              *[e[4] for e in ex])
-        return PipelineBatch(imgs_l, imgs_r, gt, scales, calib, n_valid)
+        content = np.stack([e[5] for e in ex])
+        return PipelineBatch(imgs_l, imgs_r, gt, scales, calib, n_valid,
+                             content)
 
     def __iter__(self) -> Iterator[PipelineBatch]:
         """Background-threaded prefetching iterator over one epoch."""

@@ -108,7 +108,7 @@ def forward_raw(model: StereoRCNN, images_left: jnp.ndarray,
 
     logits, deltas = model.rpn(feats_l, feats_r)             # [B, A, 2|6]
 
-    anchors = generate_anchors(cfg.anchors, im_h, im_w)
+    anchors = generate_anchors(cfg.anchors, im_h, im_w, off=cfg.box_off)
     sel = functools.partial(select_proposals, anchors=anchors, im_h=im_h,
                             im_w=im_w, cfg=cfg.rpn, train=train,
                             off=cfg.box_off)

@@ -148,7 +148,7 @@ def compute_losses(model: StereoRCNN, model_params, batch: Batch,
     logits, deltas = model.apply(variables, feats_l, feats_r,
                                  method=StereoRCNN.rpn)
 
-    anchors = generate_anchors(cfg.anchors, im_h, im_w)
+    anchors = generate_anchors(cfg.anchors, im_h, im_w, off=cfg.box_off)
     rngs = jax.random.split(rng, 2 * b)
     at = jax.vmap(lambda g, r: anchor_targets(anchors, g, cfg.rpn,
                                               im_h, im_w, r,

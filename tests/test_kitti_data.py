@@ -62,6 +62,13 @@ def test_pipeline_batches(kitti_root):
     # Per-frame calib is batched and scaled to working resolution.
     assert pb.calib.f.shape == (2,)
     assert np.allclose(pb.calib.f, 721.5377 * pb.scales, rtol=1e-5)
+    # Letterboxed content extent: source 1242x375 scaled by the per-frame
+    # factor; smaller than the canvas on whichever axis doesn't bind.
+    assert pb.content_wh.shape == (2, 2)
+    assert np.allclose(pb.content_wh[:, 0], 1242 * pb.scales, rtol=1e-5)
+    assert np.allclose(pb.content_wh[:, 1], 375 * pb.scales, rtol=1e-5)
+    assert (pb.content_wh[:, 0] <= cfg.data.image_w + 1e-3).all()
+    assert (pb.content_wh[:, 1] <= cfg.data.image_h + 1e-3).all()
     # Scaled gt boxes must lie inside the padded image.
     v = gt.valid
     assert (gt.left[v][:, 2] <= cfg.data.image_w + 1).all()

@@ -115,3 +115,44 @@ def test_solve_truncated_edge_constraints_dropped():
                                         jnp.asarray(center)))
         assert err_w < 0.25, (center, err_w)
         assert err_raw > 2 * err_w, (center, err_raw, err_w)
+
+
+def test_truncation_weights_content_extent_and_per_image_gating():
+    """The solver's constraint gating (inference.truncation_weights) must
+    (a) detect right/bottom truncation at the letterboxed CONTENT edge,
+    not the padded canvas edge — KITTI 1242x375 in a 1280x384 canvas
+    leaves ~8 px of dead right padding where no box edge can ever land —
+    and (b) gate each image's observation columns on that image's OWN
+    box: disparity shifts the right-image box left, so a car can be
+    border-truncated in only one of the two views."""
+    from stereo_rcnn_tpu.inference import truncation_weights
+
+    content_w, content_h = 1272.0, 384.0          # canvas is 1280 wide
+    ones = jnp.ones((1,))
+    k_u, k_p = jnp.full((1,), 600.0), ones        # confident interior kpt
+
+    # Box clipped at the CONTENT right edge (never reaches canvas 1280).
+    bl = jnp.asarray([[900.0, 50.0, 1271.0, 300.0]])
+    br = bl - jnp.asarray([40.0, 0.0, 40.0, 0.0])  # disparity 40: interior
+    w = truncation_weights(bl, br, k_u, k_p, content_w, content_h)
+    assert float(w[0, 2]) == 0.0    # ur (left image) dropped
+    assert float(w[0, 5]) == 1.0    # ur (right image) interior -> kept
+    assert float(w[0, 0]) == 1.0 and float(w[0, 4]) == 1.0
+
+    # Against the CANVAS width the same box looks interior — the content
+    # extent is what makes the gate fire at all.
+    w_canvas = truncation_weights(bl, br, k_u, k_p, 1280.0, content_h)
+    assert float(w_canvas[0, 2]) == 1.0
+
+    # Left-truncated only in the RIGHT image (disparity pushes it out).
+    bl2 = jnp.asarray([[30.0, 50.0, 420.0, 300.0]])
+    br2 = bl2 - jnp.asarray([29.5, 0.0, 29.5, 0.0])
+    w2 = truncation_weights(bl2, br2, jnp.full((1,), 200.0), k_p,
+                            content_w, content_h)
+    assert float(w2[0, 0]) == 1.0   # ul (left image) interior -> kept
+    assert float(w2[0, 4]) == 0.0   # ul (right image) clipped -> dropped
+
+    # Keypoint beyond the content edge is dropped even with high prob.
+    w3 = truncation_weights(bl2, br2, jnp.full((1,), 1271.5), k_p,
+                            content_w, content_h)
+    assert float(w3[0, 6]) == 0.0

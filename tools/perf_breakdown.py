@@ -65,9 +65,10 @@ def main():
         fr = [f[b:] for f in feats]
         logits, deltas = model.apply(params, fl, fr,
                                      method=lambda m, a, c: m.rpn(a, c))
-        anchors = generate_anchors(cfg.anchors, h, w)
+        anchors = generate_anchors(cfg.anchors, h, w, off=cfg.box_off)
         sel = functools.partial(select_proposals, anchors=anchors, im_h=h,
-                                im_w=w, cfg=cfg.rpn, train=False)
+                                im_w=w, cfg=cfg.rpn, train=False,
+                                off=cfg.box_off)
         props = jax.vmap(sel)(logits, deltas)
         return props.left.sum(), props.valid.sum()
 
@@ -79,9 +80,10 @@ def main():
         fr = [f[b:] for f in feats]
         logits, deltas = model.apply(params, fl, fr,
                                      method=lambda m, a, c: m.rpn(a, c))
-        anchors = generate_anchors(cfg.anchors, h, w)
+        anchors = generate_anchors(cfg.anchors, h, w, off=cfg.box_off)
         sel = functools.partial(select_proposals, anchors=anchors, im_h=h,
-                                im_w=w, cfg=cfg.rpn, train=False)
+                                im_w=w, cfg=cfg.rpn, train=False,
+                                off=cfg.box_off)
         props = jax.vmap(sel)(logits, deltas)
         pooled = model.apply(
             params, fl, fr, props.left, props.right,

@@ -51,7 +51,10 @@ def main():
         # jax_platforms and ignores the env var.
         jax.config.update("jax_platforms", "cpu")
     from stereo_rcnn_tpu.utils.cache import enable_compile_cache
-    enable_compile_cache(f"smoke_{args.platform}")
+    # CPU caches hold XLA:CPU AOT executables, which are µarch-specific —
+    # fingerprint them or a VM migration silently recompiles everything.
+    enable_compile_cache(f"smoke_{args.platform}",
+                         fingerprint=(args.platform == "cpu"))
 
     from stereo_rcnn_tpu.config import tiny_test_config
     import dataclasses

@@ -90,7 +90,8 @@ def main():
         out = jax.block_until_ready(
             pipeline(params, jnp.asarray(pb.images_left),
                      jnp.asarray(pb.images_right),
-                     jax.tree.map(jnp.asarray, pb.calib)))
+                     jax.tree.map(jnp.asarray, pb.calib),
+                     jnp.asarray(pb.content_wh)))
         det = jax.device_get(out.det)
         pos = np.asarray(out.position)
         ry = np.asarray(out.ry)
