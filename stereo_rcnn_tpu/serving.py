@@ -51,9 +51,15 @@ class ExportedPipeline(NamedTuple):
     exported: "jax_export.Exported"
     manifest: dict
 
-    def __call__(self, params, images_left, images_right, calib_batch):
+    def __call__(self, params, images_left, images_right, calib_batch,
+                 content_wh=None):
+        if content_wh is None:
+            b = images_left.shape[0]
+            h, w = self.manifest["image_hw"]
+            content_wh = jnp.broadcast_to(
+                jnp.asarray([w, h], jnp.float32), (b, 2))
         return self.exported.call(params, images_left, images_right,
-                                  calib_batch)
+                                  calib_batch, content_wh)
 
 
 def _abstract(tree):
@@ -68,20 +74,25 @@ def export_pipeline(cfg: Config, params, batch: int,
 
     ``params`` supplies the parameter-tree STRUCTURE (shapes/dtypes only;
     values are never traced into the artifact).  The exported function is
-    ``(params, left [B,H,W,3], right [B,H,W,3], calib_batch) ->
-    Detections3D`` with static batch ``B`` (fixed shapes are the TPU
-    contract everywhere in this framework).
+    ``(params, left [B,H,W,3], right [B,H,W,3], calib_batch,
+    content_wh [B,2]) -> Detections3D`` with static batch ``B`` (fixed
+    shapes are the TPU contract everywhere in this framework).
+    ``content_wh`` is the letterboxed content extent per image (in working
+    -resolution pixels) used for truncation gating in the 3D solver — pass
+    ``[[W, H]] * B`` when images fill the canvas.
     """
     h, w = cfg.data.image_h, cfg.data.image_w
     pipe = make_full_pipeline(cfg)
 
-    def fn(params, images_left, images_right, calib_batch):
-        return pipe(params, images_left, images_right, calib_batch)
+    def fn(params, images_left, images_right, calib_batch, content_wh):
+        return pipe(params, images_left, images_right, calib_batch,
+                    content_wh)
 
     imgs = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
+    cwh = jax.ShapeDtypeStruct((batch, 2), jnp.float32)
     calib = _abstract(broadcast_calib(_dummy_calib(), batch))
     exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
-        _abstract(params), imgs, imgs, calib)
+        _abstract(params), imgs, imgs, calib, cwh)
     manifest = json.dumps({
         "format": _MANIFEST_KEY,
         "batch": batch,

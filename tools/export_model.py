@@ -48,6 +48,8 @@ def main():
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from stereo_rcnn_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache("serve", fingerprint=(args.platform == "cpu"))
 
     from stereo_rcnn_tpu.serving import export_pipeline, load_pipeline
 
