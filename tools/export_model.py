@@ -67,6 +67,10 @@ def main():
         from stereo_rcnn_tpu.config import load_config
         cfg = (load_config(args.config) if args.config
                else tiny_test_config() if args.tiny else Config())
+        if [cfg.data.image_h, cfg.data.image_w] != m["image_hw"]:
+            sys.exit(f"config resolution {[cfg.data.image_h, cfg.data.image_w]}"
+                     f" != artifact {m['image_hw']} — pass the config the "
+                     "artifact was exported with (--config/--tiny)")
         b = m["batch"]
         il, ir, _, calib = synthetic_batch(cfg, batch=b, seed=3)
         params = init_params(cfg, jax.random.PRNGKey(0))
