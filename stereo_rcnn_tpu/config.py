@@ -104,6 +104,21 @@ class RCNNConfig:
     # (4 perspective keypoint channels + 2 visible-boundary channels).
     kpt_grid: int = 28
     kpt_pool_size: int = 14              # RoIAlign size feeding keypoint branch
+    # Softmax semantics of the 4 perspective-keypoint channels
+    # (reference: stereo_rcnn.py keypoint branch — SURVEY.md §3.4 fact 5
+    # is explicitly UNCERTAIN about this):
+    #   "joint":       ONE softmax over the flattened (4 x kpt_grid) bins —
+    #                  the corner type and the u-bin form a single
+    #                  categorical (our default reconstruction).
+    #   "per_channel": each corner-type channel is an independent
+    #                  kpt_grid-bin softmax; training supervises only the
+    #                  GT corner's channel, decode takes the highest
+    #                  per-channel probability across all four.
+    # Like `box_convention`, this is a parity switch: on first contact
+    # with the real released `.pth`, tools/capture_golden.py reports which
+    # semantics reproduces the reference kpts_prob, and flipping this flag
+    # re-points BOTH the loss and the decode without retraining code.
+    kpt_softmax: str = "joint"
 
     # Final detection post-processing (static shapes).
     score_thresh: float = 0.05

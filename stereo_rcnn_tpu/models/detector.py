@@ -210,10 +210,20 @@ def postprocess_boxes(raw: dict, cfg: Config, im_h: int, im_w: int):
     decoded from (the keypoint bins are defined against the proposal).
     """
 
+    # The released reference is Car-only (background + Car); this decode
+    # selects class 1 everywhere (scores, per-class deltas, dims, orien).
+    # Refuse anything else LOUDLY rather than silently scoring only class
+    # 1 of a multi-class head: generalising needs a per-class vmap of
+    # `one_image`'s class-indexed block + a merged-NMS layout downstream.
+    if cfg.rcnn.num_classes != 2:
+        raise ValueError(
+            f"postprocess_boxes is Car-only (num_classes == 2); got "
+            f"num_classes={cfg.rcnn.num_classes}. See models/detector.py — "
+            f"the class-1 selections below must become a per-class vmap.")
+
     def one_image(props: Proposals, rcnn: RCNNOutputs):
         rc = cfg.rcnn
         probs = jax.nn.softmax(rcnn.cls_logits, axis=-1)     # [N, K]
-        # Car-only pipeline: class 1.  (Generalises by vmapping over class.)
         score = jnp.where(props.valid, probs[:, 1], 0.0)
         # Un-normalize: training targets are divided by BBOX_NORMALIZE_STDS
         # (reference test-time ``bbox_pred * stds + means`` with zero means).
@@ -247,23 +257,39 @@ def postprocess_boxes(raw: dict, cfg: Config, im_h: int, im_w: int):
     return jax.vmap(one_image)(raw["proposals"], raw["rcnn"])
 
 
-def decode_keypoints(kpt_logits: jnp.ndarray, rois: jnp.ndarray):
-    """Keypoint decode (reference semantics, SURVEY.md §3.4 fact 5):
-    channels 0..3 form a JOINT distribution over (corner type, u-bin)
-    — softmax over 4*G — localising which vertical edge is visible and
-    where; channels 4..5 are independent G-bin boundary distributions.
-    Bins span the PROPOSAL RoI the keypoint branch pooled (the same
-    box the training targets in train/targets.py are defined against),
-    NOT the regressed box — decoding against the regressed box would
-    shift kpt_u/border_u by the regression delta.
+def decode_keypoints(kpt_logits: jnp.ndarray, rois: jnp.ndarray,
+                     kpt_softmax: str = "joint"):
+    """Keypoint decode (reference semantics, SURVEY.md §3.4 fact 5 —
+    explicitly uncertain, hence the ``kpt_softmax`` parity switch,
+    config ``rcnn.kpt_softmax``):
+
+    - "joint": channels 0..3 form a JOINT distribution over (corner
+      type, u-bin) — softmax over 4*G — localising which vertical edge
+      is visible and where (our default reconstruction).
+    - "per_channel": each corner-type channel is an independent G-bin
+      softmax; the decoded keypoint is the highest per-channel
+      probability across all four channels.  NOTE the argmax differs
+      from "joint" in general: per-channel normalisers reorder peaks
+      across channels even though within-channel order is preserved.
+
+    Channels 4..5 are independent G-bin boundary distributions in both
+    modes.  Bins span the PROPOSAL RoI the keypoint branch pooled (the
+    same box the training targets in train/targets.py are defined
+    against), NOT the regressed box — decoding against the regressed box
+    would shift kpt_u/border_u by the regression delta.
 
     kpt_logits: [D, 6, G]; rois: [D, 4] proposal boxes.
     """
     kl = kpt_logits
     d, _, g = kl.shape
-    persp = kl[:, :4, :].reshape(d, 4 * g)
-    persp_prob = jax.nn.softmax(persp, axis=-1)
-    flat_idx = jnp.argmax(persp, axis=-1)                # [D]
+    if kpt_softmax == "joint":
+        persp_prob = jax.nn.softmax(kl[:, :4, :].reshape(d, 4 * g), axis=-1)
+    elif kpt_softmax == "per_channel":
+        persp_prob = jax.nn.softmax(kl[:, :4, :], axis=-1).reshape(d, 4 * g)
+    else:
+        raise ValueError(f"rcnn.kpt_softmax: unknown mode {kpt_softmax!r} "
+                         "(expected 'joint' or 'per_channel')")
+    flat_idx = jnp.argmax(persp_prob, axis=-1)           # [D]
     kpt_type = (flat_idx // g).astype(jnp.int32)
     kpt_bin = (flat_idx % g).astype(jnp.float32)
     peak = jnp.take_along_axis(persp_prob, flat_idx[:, None], 1)[:, 0]
@@ -289,7 +315,9 @@ def run_keypoints(model: StereoRCNN, params, raw: dict, det: Detections,
     kl = model.apply(params, kf.reshape(b * d, *kf.shape[2:]),
                      method=lambda m, x: m.keypoints(x))
     kl = kl.reshape(b, d, *kl.shape[1:])                     # [B, D, 6, G]
-    kpt_u, kpt_type, peak, border_u = jax.vmap(decode_keypoints)(kl, rois)
+    dec = functools.partial(decode_keypoints,
+                            kpt_softmax=model.cfg.rcnn.kpt_softmax)
+    kpt_u, kpt_type, peak, border_u = jax.vmap(dec)(kl, rois)
     return det._replace(kpt_u=kpt_u, kpt_type=kpt_type, kpt_prob=peak,
                         border_u=border_u)
 

@@ -49,10 +49,14 @@ def rpn_losses(logits: jnp.ndarray, deltas: jnp.ndarray,
 
 
 def rcnn_losses(out: RCNNOutputs, kpt_logits: jnp.ndarray,
-                tgt: RoiTargets) -> Dict[str, jnp.ndarray]:
+                tgt: RoiTargets,
+                kpt_softmax: str = "joint") -> Dict[str, jnp.ndarray]:
     """Head losses for one image's S sampled rois.
 
-    kpt_logits: [S, 6, G].
+    kpt_logits: [S, 6, G].  ``kpt_softmax`` selects the perspective-keypoint
+    loss semantics (config ``rcnn.kpt_softmax``; see that field's docs):
+    "joint" = one CE over the flattened 4*G bins; "per_channel" = CE over G
+    bins on the GT corner's channel only.
     """
     w = tgt.weights
     n = jnp.maximum(w.sum(), 1.0)
@@ -75,11 +79,24 @@ def rcnn_losses(out: RCNNOutputs, kpt_logits: jnp.ndarray,
     ori_l = smooth_l1(orien_pred - tgt.orien_targets).sum(-1)
     dim_orien_loss = ((dim_l + ori_l) * fg).sum() / nfg
 
-    # Keypoints: joint CE over (4 x G) for the perspective kpt + CE over G
-    # for each boundary channel.
+    # Perspective keypoint CE (semantics per `kpt_softmax`) + CE over G for
+    # each boundary channel.  tgt.kpt_bin is always the flat joint index
+    # (type * G + ubin), so both modes decode type/ubin from it.
     s, _, g = kpt_logits.shape
-    persp = kpt_logits[:, :4, :].reshape(s, 4 * g)
-    kpt_ce = softmax_ce(persp, tgt.kpt_bin) * tgt.kpt_weight
+    if kpt_softmax == "joint":
+        persp = kpt_logits[:, :4, :].reshape(s, 4 * g)
+        kpt_ce = softmax_ce(persp, tgt.kpt_bin) * tgt.kpt_weight
+    elif kpt_softmax == "per_channel":
+        kpt_type = tgt.kpt_bin // g                       # [S] GT corner
+        ubin = tgt.kpt_bin % g                            # [S] GT u-bin
+        chan = jnp.take_along_axis(
+            kpt_logits[:, :4, :],
+            jnp.broadcast_to(kpt_type[:, None, None], (s, 1, g)),
+            axis=1)[:, 0]                                 # [S, G]
+        kpt_ce = softmax_ce(chan, ubin) * tgt.kpt_weight
+    else:
+        raise ValueError(f"rcnn.kpt_softmax: unknown mode {kpt_softmax!r} "
+                         "(expected 'joint' or 'per_channel')")
     b_ce = (softmax_ce(kpt_logits[:, 4, :], tgt.border_bins[:, 0]) +
             softmax_ce(kpt_logits[:, 5, :], tgt.border_bins[:, 1])) \
         * tgt.border_weight

@@ -174,7 +174,8 @@ def compute_losses(model: StereoRCNN, model_params, batch: Batch,
     s = cfg.rcnn.rois_per_image
     outs = jax.tree.map(lambda x: x.reshape(b, s, *x.shape[1:]), outs)
     kpt_logits = kpt_logits.reshape(b, s, *kpt_logits.shape[1:])
-    rc_l = jax.vmap(rcnn_losses)(outs, kpt_logits, rt)
+    rc_l = jax.vmap(functools.partial(
+        rcnn_losses, kpt_softmax=cfg.rcnn.kpt_softmax))(outs, kpt_logits, rt)
 
     losses = {**rpn_l, **rc_l}
     losses = {k: v.mean() for k, v in losses.items()}

@@ -54,3 +54,18 @@ def test_inference_batch2(tiny_setup):
     imgs = jax.random.normal(jax.random.PRNGKey(2), (2, h, w, 3)) * 10
     det = fn(params, imgs, imgs)
     assert det.box_left.shape[0] == 2
+
+
+def test_multiclass_config_is_refused_loudly():
+    """The postprocess decode is Car-only (class 1 everywhere, matching the
+    released reference's scope); a 3-class config must fail LOUDLY at
+    trace/build time, never silently score only class 1
+    (models/detector.py::postprocess_boxes guard)."""
+    import dataclasses
+
+    from stereo_rcnn_tpu.models.detector import postprocess_boxes
+
+    cfg = tiny_test_config()
+    cfg3 = cfg.replace(rcnn=dataclasses.replace(cfg.rcnn, num_classes=3))
+    with pytest.raises(ValueError, match="Car-only"):
+        postprocess_boxes({}, cfg3, cfg.data.image_h, cfg.data.image_w)

@@ -18,6 +18,7 @@ BASELINE.md north-star loop (reference-checkpoint AP parity).
 """
 
 import argparse
+import dataclasses
 import os
 import sys
 
@@ -87,6 +88,27 @@ def main():
         jnp.asarray(ir)))
     det = jax.device_get(out.det)
 
+    # Keypoint-softmax semantics probe (SURVEY.md §3.4 fact 5 is uncertain;
+    # config `rcnn.kpt_softmax` is the parity switch): decode the SAME
+    # converted weights under both semantics and dump both, so comparing
+    # against the reference demo's printed keypoints on this pair tells
+    # which flag value is parity — a config flip, not retraining.
+    kpt_ab = {}
+    for mode in ("joint", "per_channel"):
+        mcfg = cfg.replace(
+            rcnn=dataclasses.replace(cfg.rcnn, kpt_softmax=mode))
+        mout = jax.device_get(jax.jit(make_full_pipeline(mcfg, calib))(
+            jax.tree.map(jnp.asarray, params), jnp.asarray(il),
+            jnp.asarray(ir)).det)
+        kpt_ab[mode] = (np.asarray(mout.kpt_u), np.asarray(mout.kpt_type),
+                        np.asarray(mout.kpt_prob))
+    jd = np.abs(kpt_ab["joint"][0] - kpt_ab["per_channel"][0])
+    td = (kpt_ab["joint"][1] != kpt_ab["per_channel"][1])
+    print(f"kpt semantics A/B: max |kpt_u joint - per_channel| = "
+          f"{float(jd.max()):.3f} px, corner-type disagreements = "
+          f"{int(td.sum())}/{td.size} — match the reference's kpts to pick "
+          f"rcnn.kpt_softmax")
+
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     np.savez(
         args.out,
@@ -98,6 +120,10 @@ def main():
         alpha=np.asarray(det.alpha[0]),
         kpt_u=np.asarray(det.kpt_u[0]),
         border_u=np.asarray(det.border_u[0]),
+        kpt_u_joint=np.asarray(kpt_ab["joint"][0][0]),
+        kpt_prob_joint=np.asarray(kpt_ab["joint"][2][0]),
+        kpt_u_per_channel=np.asarray(kpt_ab["per_channel"][0][0]),
+        kpt_prob_per_channel=np.asarray(kpt_ab["per_channel"][2][0]),
         valid=np.asarray(det.valid[0]),
         position=np.asarray(out.position[0]),
         ry=np.asarray(out.ry[0]),
