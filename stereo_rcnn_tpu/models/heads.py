@@ -43,9 +43,24 @@ class RCNNHead(nn.Module):
         x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc6")(x))
         x = nn.relu(nn.Dense(self.fc_dim, dtype=self.dtype, name="fc7")(x))
         k = self.num_classes
-        cls_logits = nn.Dense(k, dtype=self.dtype, name="cls_score")(x)
-        box = nn.Dense(k * 6, dtype=self.dtype, name="bbox_pred")(x)
-        dim_orien = nn.Dense(k * 5, dtype=self.dtype, name="dim_orien_pred")(x)
+        # Reference-parity output init (net_utils.normal_init: cls 0.01,
+        # regression 0.001, zero bias).  ALSO load-bearing for from-scratch
+        # training: with an un-normalised backbone (norm="affine") the fc
+        # trunk's activations are O(10-100) at init, and default lecun
+        # kernels then emit O(30) logits/deltas — a saturated softmax and
+        # smooth-L1 far outside its quadratic zone (measured: kpt CE 51 and
+        # box loss 34 at step 20 of the round-4 full-res run; the keypoint
+        # branch never recovered).  Small output kernels start every head
+        # at zero-ish predictions regardless of trunk magnitude.
+        cls_logits = nn.Dense(
+            k, dtype=self.dtype, name="cls_score",
+            kernel_init=nn.initializers.normal(stddev=0.01))(x)
+        box = nn.Dense(
+            k * 6, dtype=self.dtype, name="bbox_pred",
+            kernel_init=nn.initializers.normal(stddev=0.001))(x)
+        dim_orien = nn.Dense(
+            k * 5, dtype=self.dtype, name="dim_orien_pred",
+            kernel_init=nn.initializers.normal(stddev=0.001))(x)
         dim_orien = dim_orien.reshape(r, k, 5).astype(jnp.float32)
         return RCNNOutputs(
             cls_logits=cls_logits.astype(jnp.float32),
@@ -87,8 +102,12 @@ class KeypointHead(nn.Module):
                                      padding="SAME", transpose_kernel=True,
                                      dtype=self.dtype,
                                      name="kpt_deconv")(x))
+        # Small output init (see RCNNHead): the row-marginalisation below
+        # sums `grid` logit rows, amplifying any init-time logit scale x28.
         x = nn.Conv(self.num_channels, (1, 1), dtype=self.dtype,
-                    name="kpt_score")(x)                    # [R, G, G, 6]
+                    name="kpt_score",
+                    kernel_init=nn.initializers.normal(stddev=0.001))(x)
+        # [R, G, G, 6]
         # Marginalise over rows (v) -> 1-D u distributions.
         logits = x.sum(axis=1)                              # [R, G, 6]
         return jnp.swapaxes(logits, 1, 2).astype(jnp.float32)  # [R, 6, G]

@@ -44,12 +44,18 @@ class StereoRPNHead(nn.Module):
     @nn.compact
     def __call__(self, feats_left: Sequence[jnp.ndarray],
                  feats_right: Sequence[jnp.ndarray]):
+        # Reference-parity init (rpn_fpn.py: normal_init 0.01 on all three,
+        # zero bias); keeps init-time proposals/objectness near zero even
+        # when the un-normalised backbone's features are large (see
+        # RCNNHead's init comment).
+        rpn_init = nn.initializers.normal(stddev=0.01)
         conv = nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)],
-                       dtype=self.dtype, name="rpn_conv")
+                       dtype=self.dtype, name="rpn_conv",
+                       kernel_init=rpn_init)
         cls_head = nn.Conv(self.num_anchors * 2, (1, 1), dtype=self.dtype,
-                           name="rpn_cls")
+                           name="rpn_cls", kernel_init=rpn_init)
         box_head = nn.Conv(self.num_anchors * 6, (1, 1), dtype=self.dtype,
-                           name="rpn_box")
+                           name="rpn_box", kernel_init=rpn_init)
         logits_all: List[jnp.ndarray] = []
         deltas_all: List[jnp.ndarray] = []
         for fl, fr in zip(feats_left, feats_right):
