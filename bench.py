@@ -107,8 +107,23 @@ def main():
     from stereo_rcnn_tpu.models import init_params
 
     import dataclasses
-    cfg = Config()
-    # Perf-tuned production config (configs/res101_pallas.yml): the Pallas
+    # The ONE program family this run compiles: the trained checkpoint's
+    # own config when a params export exists (its GroupNorm tree must match
+    # the program — see configs/synthetic_fullres.yml), else the default
+    # frozen-BN production config.  Either way it is a single family,
+    # deterministic from the repo + the committed recipe.
+    cfg_yaml = os.path.join(os.path.dirname(BENCH_PARAMS), "config.yaml")
+    if os.path.isdir(BENCH_PARAMS) and os.path.exists(cfg_yaml):
+        from stereo_rcnn_tpu.config import load_config
+        cfg = load_config(cfg_yaml, overrides={
+            # Inference-time settings the training recipe doesn't pin:
+            # remat only affects the backward pass; keep it off the
+            # forward program for cache stability.
+            "backbone": {"remat": False},
+        })
+    else:
+        cfg = Config()
+    # Perf-tuned production setting (configs/res101_pallas.yml): the Pallas
     # window-DMA RoIAlign kernel — A/B parity-tested vs the XLA atlas path.
     cfg = dataclasses.replace(
         cfg, rcnn=dataclasses.replace(cfg.rcnn, roi_align_impl="pallas"))
