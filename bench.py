@@ -99,22 +99,18 @@ def _backend_watchdog(
     timer.cancel()
 
 
-def main():
-    _backend_watchdog()
-    from stereo_rcnn_tpu.config import Config
-    from stereo_rcnn_tpu.data.synthetic import synthetic_batch
-    from stereo_rcnn_tpu.inference import make_full_pipeline
-    from stereo_rcnn_tpu.models import init_params
-
+def bench_config(bench_params_dir: str = BENCH_PARAMS):
+    """The ONE program family this run compiles: the trained checkpoint's
+    own config when a params export exists (its GroupNorm tree must match
+    the program — see configs/synthetic_fullres.yml), else the default
+    frozen-BN production config.  Either way it is a single family,
+    deterministic from the repo + the committed recipe."""
     import dataclasses
-    # The ONE program family this run compiles: the trained checkpoint's
-    # own config when a params export exists (its GroupNorm tree must match
-    # the program — see configs/synthetic_fullres.yml), else the default
-    # frozen-BN production config.  Either way it is a single family,
-    # deterministic from the repo + the committed recipe.
-    cfg_yaml = os.path.join(os.path.dirname(BENCH_PARAMS), "config.yaml")
-    if os.path.isdir(BENCH_PARAMS) and os.path.exists(cfg_yaml):
-        from stereo_rcnn_tpu.config import load_config
+
+    from stereo_rcnn_tpu.config import Config, load_config
+
+    cfg_yaml = os.path.join(os.path.dirname(bench_params_dir), "config.yaml")
+    if os.path.isdir(bench_params_dir) and os.path.exists(cfg_yaml):
         cfg = load_config(cfg_yaml, overrides={
             # Inference-time settings the training recipe doesn't pin:
             # remat only affects the backward pass; keep it off the
@@ -125,8 +121,17 @@ def main():
         cfg = Config()
     # Perf-tuned production setting (configs/res101_pallas.yml): the Pallas
     # window-DMA RoIAlign kernel — A/B parity-tested vs the XLA atlas path.
-    cfg = dataclasses.replace(
+    return dataclasses.replace(
         cfg, rcnn=dataclasses.replace(cfg.rcnn, roi_align_impl="pallas"))
+
+
+def main():
+    _backend_watchdog()
+    from stereo_rcnn_tpu.data.synthetic import synthetic_batch
+    from stereo_rcnn_tpu.inference import make_full_pipeline
+    from stereo_rcnn_tpu.models import init_params
+
+    cfg = bench_config()
     h, w = cfg.data.image_h, cfg.data.image_w
     batch = 16
 
