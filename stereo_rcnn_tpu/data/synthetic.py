@@ -69,13 +69,32 @@ def _iou(a: np.ndarray, b: np.ndarray) -> float:
     return float(inter / max(area, 1e-9))
 
 
-def _surface_depth_np(us: np.ndarray, location: np.ndarray,
-                      dims_hwl: np.ndarray, ry: float,
-                      calib: StereoCalib) -> np.ndarray:
-    """Per-column depth of the visible box surface (numpy twin of
-    ``solve.dense_align._visible_depth_profile``): cast the left-camera ray
-    of each column u against the object rectangle in bird's-eye view;
-    misses fall back to the center depth."""
+#: Deterministic per-face BGR tints (front +l, back -l, +w side, -w side).
+#: Fixed across every scene so the face->appearance mapping is LEARNABLE:
+#: with an untinted flat texture the viewpoint angle is visually
+#: unobservable (a random-noise rectangle looks identical at every yaw,
+#: modulo the stereo disparity profile which only fixes ry mod pi), and a
+#: round-4 held-out error decomposition showed exactly that failure —
+#: median yaw error ~1.4 rad and nearest-corner-type accuracy at chance
+#: while depth/dims were within a few percent.  Real cars break the
+#: symmetry with oriented appearance (lights, windshield, shading); these
+#: tints plus the along-face gradient are the minimal synthetic analogue.
+_FACE_TINTS = np.array([
+    [0.55, 0.55, 1.35],   # front: red-ish
+    [1.35, 0.55, 0.55],   # back: blue-ish
+    [0.55, 1.35, 0.55],   # +w side: green-ish
+    [1.10, 1.10, 0.45],   # -w side: cyan-ish
+], np.float32)
+
+
+def _surface_profile_np(us: np.ndarray, location: np.ndarray,
+                        dims_hwl: np.ndarray, ry: float,
+                        calib: StereoCalib):
+    """Per-column (depth, face id, along-face coord, hit) of the visible
+    box surface (numpy twin of ``solve.dense_align._visible_depth_profile``
+    for the depth part): cast the left-camera ray of each column u against
+    the object rectangle in bird's-eye view; misses fall back to the
+    center depth."""
     x, z = float(location[0]), float(location[2])
     w_half, l_half = float(dims_hwl[1]) / 2, float(dims_hwl[2]) / 2
     s = (us - float(calib.cu)) / float(calib.f)
@@ -100,7 +119,26 @@ def _surface_depth_np(us: np.ndarray, location: np.ndarray,
     t_enter = np.maximum(lo1, lo2)
     t_exit = np.minimum(hi1, hi2)
     hit = (t_enter <= t_exit) & (t_enter > 0.1)
-    return np.where(hit, t_enter, z)
+    depth = np.where(hit, t_enter, z)
+    # Entry point in the object frame: which face the ray entered through
+    # (length-slab => front/back, width-slab => left/right side) and the
+    # normalized [-1, 1] coordinate along that face.
+    p_l = b1 + a1 * t_enter
+    p_w = b2 + a2 * t_enter
+    from_len = lo1 >= lo2
+    face = np.where(from_len, np.where(p_l > 0, 0, 1),
+                    np.where(p_w > 0, 2, 3)).astype(np.int32)
+    along = np.where(from_len,
+                     np.clip(p_w / max(w_half, 1e-6), -1.0, 1.0),
+                     np.clip(p_l / max(l_half, 1e-6), -1.0, 1.0))
+    return depth, face, along, hit
+
+
+def _surface_depth_np(us: np.ndarray, location: np.ndarray,
+                      dims_hwl: np.ndarray, ry: float,
+                      calib: StereoCalib) -> np.ndarray:
+    """Per-column visible-surface depth (see ``_surface_profile_np``)."""
+    return _surface_profile_np(us, location, dims_hwl, ry, calib)[0]
 
 
 def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
@@ -153,14 +191,26 @@ def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
                 small[y0_][:, x0_ + 1] * fx_) * (1 - fy_) +
                (small[y0_ + 1][:, x0_] * (1 - fx_) +
                 small[y0_ + 1][:, x0_ + 1] * fx_) * fy_)
+
+        # Orientation-observable appearance: tint each column by the BEV
+        # face its camera ray hits (deterministic per-face colors) and an
+        # along-face brightness gradient.  The tint discontinuity between
+        # adjacent visible faces falls exactly at the projected nearest
+        # corner — the perspective keypoint the keypoint branch regresses —
+        # and carries into the right view with the correct disparity via
+        # the same surface-depth splat below.
+        us = np.arange(xi1, xi2, dtype=np.float64) + 0.5
+        zs, face, along, hit = _surface_profile_np(
+            us, o.location, o.dims, o.ry, calib)
+        gain = _FACE_TINTS[face] * (0.85 + 0.25 * along)[:, None]
+        gain = np.where(hit[:, None], gain, 1.0)
+        tex = np.clip(tex * gain[None, :, :], 0.0, 255.0)
         left[yi1:yi2, xi1:xi2] = tex
 
         # Right view: bilinear-splat each left column at u - f*b/z(u).
         # The splat is a dense [tex_cols, span] weight-matrix product
         # (np.add.at is an order of magnitude slower on near, hundreds-of-
         # pixels-wide cars and was the training-loop bottleneck).
-        us = np.arange(xi1, xi2, dtype=np.float64) + 0.5
-        zs = _surface_depth_np(us, o.location, o.dims, o.ry, calib)
         targets = us - fb / zs - 0.5          # right-image column coords
         lo = np.floor(targets).astype(int)
         frac = targets - lo

@@ -31,7 +31,7 @@ Reproducibility note (the committed contract for the bench checkpoint
 run): the synthetic scene pool is a pure function of the effective
 config + batch index — ``tools/train.py`` renders scene batch ``s`` with
 ``synthetic_batch(cfg, global_batch, seed=s)`` and caches it under
-``runs/synth_pool/v2_{H}x{W}_b{batch}_g{max_gt}_s{s}.npz``.  A fresh VM
+``runs/synth_pool/v3_{H}x{W}_b{batch}_g{max_gt}_s{s}.npz``.  A fresh VM
 re-renders the IDENTICAL pool from the repo alone (no state to migrate);
 the cache only saves the ~35 s/batch render time.
 

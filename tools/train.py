@@ -111,7 +111,7 @@ def main():
             # size, batch, gt padding, renderer defaults AND a renderer
             # version (bump when data/synthetic.py's output changes) — or
             # a config/code change silently trains on stale scenes.
-            key = (f"v2_{cfg.data.image_h}x{cfg.data.image_w}"
+            key = (f"v3_{cfg.data.image_h}x{cfg.data.image_w}"
                    f"_b{global_batch}_g{cfg.train.max_gt_boxes}"
                    f"_s{s}.npz")
             path = os.path.join(cache_dir, key)
