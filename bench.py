@@ -41,8 +41,22 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_stereo"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-BENCH_PARAMS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "runs", "bench_ckpt", "params_export")
+_BENCH_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "runs", "bench_ckpt")
+
+
+def resolve_bench_params(ckpt_dir: str = _BENCH_CKPT) -> str:
+    """Prefer the norm-calibrated export (tools/calibrate_norm.py): same
+    detections (validated there), but its frozen-affine tree folds into
+    the convolutions — strictly cheaper program than per-sample
+    GroupNorm."""
+    calibrated = os.path.join(ckpt_dir, "calibrated", "params_export")
+    return (calibrated if os.path.isdir(calibrated)
+            else os.path.join(ckpt_dir, "params_export"))
+
+
+BENCH_PARAMS = resolve_bench_params()
+_CALIBRATED = os.path.join(_BENCH_CKPT, "calibrated", "params_export")
 
 # v5e peak bf16 matmul throughput, for the MFU estimate.
 PEAK_FLOPS = 197e12
@@ -56,7 +70,9 @@ def _try_load_export(params):
     try:
         from stereo_rcnn_tpu.train.checkpoint import restore_params
         restored = restore_params(BENCH_PARAMS, params)
-        return restored, "ckpt:params_export"
+        label = ("ckpt:calibrated" if BENCH_PARAMS == _CALIBRATED
+                 else "ckpt:params_export")
+        return restored, label
     except Exception as e:  # noqa: BLE001 — benchmark must never die here
         print(f"# params_export load failed ({e}); using random weights",
               file=sys.stderr)

@@ -47,6 +47,21 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         groups = min(32, self.features)
+        if (self.is_mutable_collection("norm_stats")
+                and not self.is_initializing()):
+            # Calibration capture (convert/norm_calibrate.py): per-channel
+            # pooled moments of this site's INPUT, exactly as GroupNorm
+            # groups them.  Total variance over the batch = E[var_g] +
+            # Var[mu_g] (law of total variance), broadcast group -> channel.
+            xs = x.astype(jnp.float32)
+            n, h, w, c = xs.shape
+            xg = xs.reshape(n, h * w, groups, c // groups)
+            mu = xg.mean(axis=(1, 3))                            # [n, g]
+            var = ((xg - mu[:, None, :, None]) ** 2).mean(axis=(1, 3))
+            rep = c // groups
+            self.sow("norm_stats", "mu", jnp.repeat(mu.mean(0), rep))
+            self.sow("norm_stats", "var",
+                     jnp.repeat(var.mean(0) + mu.var(0), rep))
         return nn.GroupNorm(num_groups=groups, dtype=self.dtype,
                             name="gn")(x)
 

@@ -33,6 +33,18 @@ def test_bench_config_prefers_checkpoint_config(tmp_path):
     assert picked.rcnn.roi_align_impl == "pallas"
 
 
+def test_resolve_prefers_calibrated_export(tmp_path):
+    import bench
+
+    ckpt = tmp_path / "bench_ckpt"
+    plain = ckpt / "params_export"
+    plain.mkdir(parents=True)
+    assert bench.resolve_bench_params(str(ckpt)) == str(plain)
+    cal = ckpt / "calibrated" / "params_export"
+    cal.mkdir(parents=True)
+    assert bench.resolve_bench_params(str(ckpt)) == str(cal)
+
+
 def test_bench_config_default_without_checkpoint(tmp_path):
     import bench
 

@@ -67,6 +67,8 @@ def main():
                          "0..steps_per_epoch-1)")
     ap.add_argument("--iou", type=float, default=0.5)
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu"])
+    ap.add_argument("--step", type=int, default=None,
+                    help="checkpoint step to restore (default: latest)")
     args = ap.parse_args()
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -82,7 +84,7 @@ def main():
     cfg_path = args.config or os.path.join(args.ckpt_dir, "config.yaml")
     cfg = load_config(cfg_path if os.path.exists(cfg_path) else None)
     state = init_train_state(cfg, jax.random.PRNGKey(0))
-    state = restore_checkpoint(args.ckpt_dir, state)
+    state = restore_checkpoint(args.ckpt_dir, state, step=args.step)
     print(f"step {int(state.step)}, matching at 2D IoU >= {args.iou}")
     params = {"params": state.params["model"]}
 

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--n-objects", type=int, default=4)
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu"])
+    ap.add_argument("--step", type=int, default=None,
+                    help="checkpoint step to restore (default: latest)")
     args = ap.parse_args()
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -57,7 +59,7 @@ def main():
           f"{cfg.data.image_h}x{cfg.data.image_w}")
 
     state = init_train_state(cfg, jax.random.PRNGKey(0))
-    state = restore_checkpoint(args.ckpt_dir, state)
+    state = restore_checkpoint(args.ckpt_dir, state, step=args.step)
     print(f"restored step {int(state.step)} "
           f"(latest: {latest_step(args.ckpt_dir)})")
     params = {"params": state.params["model"]}

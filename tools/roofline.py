@@ -78,7 +78,12 @@ def main():
     def backbone_only(params, l, r):
         feats = model.apply(params, jnp.concatenate([l, r], 0),
                             method=lambda m, x: m.backbone(x))
-        return [f.sum() for f in feats]
+        # ONE fused scalar output: every extra output costs a separate
+        # device->host readback over the tunnel (~10s of ms each), which
+        # contaminated the per-stage timings in the first version of this
+        # tool (backbone "slower" than backbone+rpn purely because it
+        # returned 5 scalars vs 2).
+        return sum(f.sum() for f in feats)
 
     def upto_rpn(params, l, r):
         b = l.shape[0]
@@ -92,7 +97,7 @@ def main():
                                 im_w=w, cfg=cfg.rpn, train=False,
                                 off=cfg.box_off)
         props = jax.vmap(sel)(logits, deltas)
-        return props.left.sum(), props.valid.sum()
+        return props.left.sum() + props.valid.sum()
 
     def full_3d(params, l, r, calib_b):
         raw = model.apply(params, l, r,
@@ -101,7 +106,19 @@ def main():
         det, idx, rois = postprocess_boxes(raw, cfg, h, w)
         det = run_keypoints(model, params, raw, det, idx, rois)
         out = solve_and_align(det, l, r, calib_b, cfg)
-        return out.position.sum(), out.z_refined.sum()
+        return out.position.sum() + out.z_refined.sum()
+
+    # Host<->device round-trip floor: a trivial compiled scalar program,
+    # timed the same way the stages are.  On the tunneled backend this is
+    # tens of ms and must be subtracted to see the device-side time.
+    triv = jax.jit(lambda x: x + 1.0).lower(jnp.float32(0)).compile()
+    float(triv(jnp.float32(0)))
+    t0 = time.time()
+    for _ in range(args.iters):
+        float(triv(jnp.float32(1)))
+    rtt = (time.time() - t0) / args.iters
+    print(f"sync round-trip floor: {rtt * 1000:.1f} ms (subtracted from "
+          f"every row's ms/batch)")
 
     for batch in args.batch:
         il, ir, _, calib = synthetic_batch(cfg, batch=batch, seed=7,
@@ -120,13 +137,11 @@ def main():
         for name, fn in stages:
             compiled = jax.jit(fn).lower(params, left, right).compile()
             flops, bytes_ = _cost(compiled)
-            out = compiled(params, left, right)
-            jax.tree.map(lambda x: float(jnp.asarray(x).sum()), out)  # sync
+            float(compiled(params, left, right))                # sync warm-up
             t0 = time.time()
             for _ in range(args.iters):
-                out = compiled(params, left, right)
-                jax.tree.map(lambda x: float(jnp.asarray(x).sum()), out)
-            dt = (time.time() - t0) / args.iters
+                float(compiled(params, left, right))
+            dt = max((time.time() - t0) / args.iters - rtt, 1e-6)
             t_flop = flops / PEAK_FLOPS
             t_mem = bytes_ / HBM_BW
             t_roof = max(t_flop, t_mem)
