@@ -210,49 +210,67 @@ def postprocess_boxes(raw: dict, cfg: Config, im_h: int, im_w: int):
     decoded from (the keypoint bins are defined against the proposal).
     """
 
-    # The released reference is Car-only (background + Car); this decode
-    # selects class 1 everywhere (scores, per-class deltas, dims, orien).
-    # Refuse anything else LOUDLY rather than silently scoring only class
-    # 1 of a multi-class head: generalising needs a per-class vmap of
-    # `one_image`'s class-indexed block + a merged-NMS layout downstream.
-    if cfg.rcnn.num_classes != 2:
+    # Per-class decode + per-class NMS (the reference's Car-only release is
+    # the K=2 special case; upstream ``test_net.py`` loops classes the same
+    # way).  Each foreground class runs the class-indexed block under a
+    # vmap, then the per-class survivor lists are merged by a global top-k
+    # on score so the output stays the fixed [max_detections] layout the
+    # solver/alignment stages compile against.  ``mean_dims_hwl`` may be a
+    # flat [3] (shared across classes) or [K-1, 3] (per foreground class).
+    rc_ = cfg.rcnn
+    mean_dims = jnp.asarray(rc_.mean_dims_hwl, jnp.float32).reshape(-1, 3)
+    if mean_dims.shape[0] not in (1, rc_.num_classes - 1):
         raise ValueError(
-            f"postprocess_boxes is Car-only (num_classes == 2); got "
-            f"num_classes={cfg.rcnn.num_classes}. See models/detector.py — "
-            f"the class-1 selections below must become a per-class vmap.")
+            f"mean_dims_hwl must be [3] or [(num_classes-1), 3]; got "
+            f"{mean_dims.shape} for num_classes={rc_.num_classes}")
 
     def one_image(props: Proposals, rcnn: RCNNOutputs):
         rc = cfg.rcnn
         probs = jax.nn.softmax(rcnn.cls_logits, axis=-1)     # [N, K]
-        score = jnp.where(props.valid, probs[:, 1], 0.0)
-        # Un-normalize: training targets are divided by BBOX_NORMALIZE_STDS
-        # (reference test-time ``bbox_pred * stds + means`` with zero means).
         off = cfg.box_off
-        deltas = rcnn.box_deltas[:, 1, :] * jnp.asarray(rc.bbox_target_stds)
-        box_l, box_r = decode_stereo_boxes(props.left, deltas, off)
-        box_l = clip_boxes(box_l, im_h, im_w, off)
-        box_r = clip_boxes(box_r, im_h, im_w, off)
+        stds = jnp.asarray(rc.bbox_target_stds)
 
-        keep = score >= rc.score_thresh
-        idx, valid = nms_indices(union_box(box_l, box_r), score,
-                                 rc.final_nms_thresh, rc.max_detections,
-                                 valid=keep, off=off)
-        box_l, box_r = box_l[idx], box_r[idx]
-        score = score[idx]
-        dims = jnp.asarray(rc.mean_dims_hwl) + rcnn.dims[idx, 1, :]
-        sin_a, cos_a = rcnn.orien[idx, 1, 0], rcnn.orien[idx, 1, 1]
-        alpha = jnp.arctan2(sin_a, cos_a)
-        d = idx.shape[0]
-        zeros = jnp.zeros((d,), jnp.float32)
-        det = Detections(
-            box_left=box_l, box_right=box_r, score=score,
-            cls=jnp.ones((rc.max_detections,), jnp.int32),
-            dims=dims, alpha=alpha,
-            kpt_u=zeros, kpt_type=jnp.zeros((d,), jnp.int32),
-            kpt_prob=zeros, border_u=jnp.zeros((d, 2), jnp.float32),
-            valid=valid & (score > 0),
-        )
-        return det, idx, props.left[idx]
+        def per_class(c):
+            score = jnp.where(props.valid, probs[:, c], 0.0)
+            # Un-normalize: training targets are divided by
+            # BBOX_NORMALIZE_STDS (reference test-time ``bbox_pred * stds
+            # + means`` with zero means).
+            deltas = rcnn.box_deltas[:, c, :] * stds
+            box_l, box_r = decode_stereo_boxes(props.left, deltas, off)
+            box_l = clip_boxes(box_l, im_h, im_w, off)
+            box_r = clip_boxes(box_r, im_h, im_w, off)
+            keep = score >= rc.score_thresh
+            idx, valid = nms_indices(union_box(box_l, box_r), score,
+                                     rc.final_nms_thresh, rc.max_detections,
+                                     valid=keep, off=off)
+            dims = (mean_dims[jnp.minimum(c - 1, mean_dims.shape[0] - 1)]
+                    + rcnn.dims[idx, c, :])
+            sin_a, cos_a = rcnn.orien[idx, c, 0], rcnn.orien[idx, c, 1]
+            score = score[idx]
+            d = idx.shape[0]
+            zeros = jnp.zeros((d,), jnp.float32)
+            det = Detections(
+                box_left=box_l[idx], box_right=box_r[idx], score=score,
+                cls=jnp.full((d,), c, jnp.int32),
+                dims=dims, alpha=jnp.arctan2(sin_a, cos_a),
+                kpt_u=zeros, kpt_type=jnp.zeros((d,), jnp.int32),
+                kpt_prob=zeros, border_u=jnp.zeros((d, 2), jnp.float32),
+                valid=valid & (score > 0),
+            )
+            return det, idx, props.left[idx]
+
+        dets, idxs, rois = jax.vmap(per_class)(
+            jnp.arange(1, rc.num_classes))            # [K-1, D, ...]
+
+        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), dets)
+        # Global top-k over all classes' survivors: with K=2 this is an
+        # identity re-sort (nms_indices already orders by score).
+        order = jax.lax.top_k(jnp.where(flat.valid, flat.score, -1.0),
+                              rc.max_detections)[1]
+        det = jax.tree.map(lambda x: x[order], flat)
+        idx = idxs.reshape(-1)[order]
+        roi = rois.reshape((-1,) + rois.shape[2:])[order]
+        return det, idx, roi
 
     return jax.vmap(one_image)(raw["proposals"], raw["rcnn"])
 

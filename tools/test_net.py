@@ -107,8 +107,10 @@ def main():
             rys = ry[b][sel]
             alphas = np.asarray(det.alpha[b])[sel]
             scores = np.asarray(det.score[b])[sel]
+            cls_names = [cfg.data.classes[c]
+                         for c in np.asarray(det.cls[b])[sel]]
             write_result_file(
-                os.path.join(args.out, f"{fid}.txt"), ["Car"] * n,
+                os.path.join(args.out, f"{fid}.txt"), cls_names,
                 boxes2d, dims, locs, rys, alphas, scores)
             dets.append(FrameObjects(
                 box2d=boxes2d,
