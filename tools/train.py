@@ -87,6 +87,23 @@ def main():
             cfg, data=dataclasses.replace(cfg.data,
                                           kitti_root=args.kitti_root))
 
+    # Graceful preemption: TPU reservations get preempted and supervised
+    # runs get stopped on purpose (tools/supervise_train.py); a run that
+    # only checkpoints every --ckpt-every epochs would lose up to that
+    # much work.  On SIGTERM, finish the in-flight step, save a full
+    # checkpoint + params export at the CURRENT step, and exit 0 (so the
+    # supervisor treats it as a clean end, not a crash to retry).  The
+    # reference has no counterpart (trainval_net.py dies where it stands).
+    import signal
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+        print("SIGTERM: will checkpoint at the current step and exit",
+              flush=True)
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
+
     mesh = make_mesh()
     n_dev = mesh.devices.size
     global_batch = cfg.train.batch_per_device * n_dev
@@ -201,6 +218,17 @@ def main():
             for il, ir, gt in batches():
                 yield to_device(il, ir, gt)
 
+        def save(tag):
+            host_state = jax.device_get(state)
+            save_checkpoint(args.ckpt_dir, host_state)
+            # Params-only export for inference consumers (bench.py,
+            # demo): with "frozen"/"affine" norms this tree is
+            # IDENTICAL to the default inference tree, so restoring it
+            # is pure IO — no recompile (see train/checkpoint.py).
+            export_params(os.path.join(args.ckpt_dir, "params_export"),
+                          {"params": host_state.params["model"]})
+            print(f"{tag}, checkpoint saved to {args.ckpt_dir}", flush=True)
+
         start_epoch = int(state.step) // steps_per_epoch
         for epoch in range(start_epoch, cfg.train.epochs):
             for batch in device_batches():
@@ -218,18 +246,14 @@ def main():
                                          for k, v in mvals.items()},
                                       "pairs_per_sec":
                                           timer.throughput(global_batch)})
+                if preempted["flag"]:
+                    save(f"preempted at step {step} "
+                         f"(epoch {epoch + 1}/{cfg.train.epochs})")
+                    logger.close()
+                    return
             if ((epoch + 1) % args.ckpt_every == 0
                     or epoch + 1 == cfg.train.epochs):
-                host_state = jax.device_get(state)
-                save_checkpoint(args.ckpt_dir, host_state)
-                # Params-only export for inference consumers (bench.py,
-                # demo): with "frozen"/"affine" norms this tree is
-                # IDENTICAL to the default inference tree, so restoring it
-                # is pure IO — no recompile (see train/checkpoint.py).
-                export_params(os.path.join(args.ckpt_dir, "params_export"),
-                              {"params": host_state.params["model"]})
-                print(f"epoch {epoch + 1}/{cfg.train.epochs} done, "
-                      f"checkpoint saved to {args.ckpt_dir}")
+                save(f"epoch {epoch + 1}/{cfg.train.epochs} done")
             else:
                 print(f"epoch {epoch + 1}/{cfg.train.epochs} done")
     logger.close()
