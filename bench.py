@@ -49,9 +49,12 @@ def resolve_bench_params(ckpt_dir: str = _BENCH_CKPT) -> str:
     """Prefer the norm-calibrated export (tools/calibrate_norm.py): same
     detections (validated there), but its frozen-affine tree folds into
     the convolutions — strictly cheaper program than per-sample
-    GroupNorm."""
+    GroupNorm.  Keyed on the VALID marker calibrate_norm.py writes LAST,
+    so a partially-written dir (tool crashed mid-export) is never
+    silently preferred."""
     calibrated = os.path.join(ckpt_dir, "calibrated", "params_export")
-    return (calibrated if os.path.isdir(calibrated)
+    valid = os.path.join(ckpt_dir, "calibrated", "VALID")
+    return (calibrated if os.path.isdir(calibrated) and os.path.exists(valid)
             else os.path.join(ckpt_dir, "params_export"))
 
 

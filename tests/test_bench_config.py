@@ -42,6 +42,10 @@ def test_resolve_prefers_calibrated_export(tmp_path):
     assert bench.resolve_bench_params(str(ckpt)) == str(plain)
     cal = ckpt / "calibrated" / "params_export"
     cal.mkdir(parents=True)
+    # A calibrated dir WITHOUT the VALID marker (tool crashed mid-export)
+    # must not be preferred — calibrate_norm.py writes the marker last.
+    assert bench.resolve_bench_params(str(ckpt)) == str(plain)
+    (ckpt / "calibrated" / "VALID").write_text("median IoU 1.0\n")
     assert bench.resolve_bench_params(str(ckpt)) == str(cal)
 
 

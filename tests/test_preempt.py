@@ -1,16 +1,19 @@
-"""Graceful preemption of a training run (SIGTERM -> checkpoint -> rc 0).
+"""Graceful preemption of a training run (SIGTERM -> checkpoint -> rc 75).
 
 TPU reservations get preempted and the supervisor (tools/supervise_train.py)
 stops runs on purpose; tools/train.py must save a full checkpoint at the
-CURRENT step on SIGTERM and exit 0, so at most one in-flight step is lost
-instead of up to --ckpt-every epochs.  No reference counterpart:
-``trainval_net.py`` (SURVEY.md §3.2) loses everything since its last
-per-epoch save.
+CURRENT step on SIGTERM and exit PREEMPTED_RC (75, EX_TEMPFAIL) — distinct
+from 0 so the supervisor relaunches with --resume instead of reporting a
+false completion, and distinct from a crash so it skips the backoff.  At
+most one in-flight step is lost instead of up to --ckpt-every epochs.  No
+reference counterpart: ``trainval_net.py`` (SURVEY.md §3.2) loses
+everything since its last per-epoch save.
 
 Subprocess-isolated like tests/test_cli_e2e.py; forces --platform cpu.
 """
 
 import os
+import select
 import signal
 import subprocess
 import sys
@@ -31,14 +34,24 @@ def test_sigterm_checkpoints_current_step(tmp_path):
     lines = []
     deadline = time.time() + 1200  # cold XLA:CPU compile dominates
     try:
-        # Wait until training demonstrably stepped, then preempt.
-        for line in proc.stdout:
-            lines.append(line)
+        # Wait until training demonstrably stepped, then preempt.  Poll
+        # with select so the deadline fires even if the child hangs
+        # silently (a blocking ``for line in proc.stdout`` would wait
+        # forever on a wedged child and hang the whole suite).
+        stepped = False
+        while not stepped:
             if time.time() > deadline:
                 raise AssertionError(
                     "no training step before deadline\n" + "".join(lines))
-            if "[step " in line:
-                break
+            ready, _, _ = select.select([proc.stdout], [], [], 10.0)
+            if not ready:
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                raise AssertionError(
+                    "train.py exited before stepping\n" + "".join(lines))
+            lines.append(line)
+            stepped = "[step " in line
         proc.send_signal(signal.SIGTERM)
         out, _ = proc.communicate(timeout=600)
         lines.append(out)
@@ -46,7 +59,7 @@ def test_sigterm_checkpoints_current_step(tmp_path):
         if proc.poll() is None:
             proc.kill()
     full = "".join(lines)
-    assert proc.returncode == 0, f"rc={proc.returncode}\n{full}"
+    assert proc.returncode == 75, f"rc={proc.returncode}\n{full}"
     assert "preempted at step" in full, full
     # The save is restorable and at the step the run reached (not a stale
     # epoch boundary): with --ckpt-every 1000 only the preemption saves.

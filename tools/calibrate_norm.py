@@ -141,9 +141,19 @@ def main():
 
     out_dir = os.path.join(args.ckpt_dir, "calibrated")
     os.makedirs(out_dir, exist_ok=True)
+    # Drop any stale VALID marker FIRST so a crash mid-export can never
+    # leave a marker pointing at a half-written tree; consumers
+    # (bench.py::resolve_bench_params) key their preference on the marker,
+    # not on directory existence.
+    marker = os.path.join(out_dir, "VALID")
+    if os.path.exists(marker):
+        os.remove(marker)
     export_params(os.path.join(out_dir, "params_export"), params_aff)
     with open(os.path.join(out_dir, "config.yaml"), "w") as f:
         yaml.safe_dump(dataclasses.asdict(cfg_aff), f)
+    with open(marker, "w") as f:
+        f.write(f"median IoU {med_iou:.4f}, median |dz|/z "
+                f"{100 * med_dz:.3f}%, count drift {100 * drift:.1f}%\n")
     print(f"wrote {out_dir} (norm: {cfg_aff.backbone.norm})")
     return 0
 

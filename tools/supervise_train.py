@@ -50,6 +50,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# train.py exits with this (EX_TEMPFAIL) after a SIGTERM-triggered
+# graceful checkpoint: incomplete-but-resumable, not a completion and
+# not a crash.  Kept in sync with tools/train.py::PREEMPTED_RC.
+PREEMPTED_RC = 75
+
 
 def parse_args():
     p = argparse.ArgumentParser(
@@ -67,6 +72,11 @@ def parse_args():
                    help="initial retry backoff (doubles up to 15 min)")
     p.add_argument("--max-hours", type=float, default=0.0,
                    help="give up after this many hours total (0 = no cap)")
+    p.add_argument("--term-grace", type=float, default=600.0,
+                   help="seconds to wait after SIGTERM before SIGKILL; "
+                        "must cover train.py's graceful-preemption save "
+                        "(a full-state readback through the ~5 MB/s "
+                        "tunnel is multi-minute)")
     p.add_argument("train_args", nargs=argparse.REMAINDER,
                    help="-- then arguments for tools/train.py")
     args = p.parse_args()
@@ -88,19 +98,26 @@ def _newest_mtime(path: str) -> float:
     return newest
 
 
-def _kill_tree(proc: subprocess.Popen) -> None:
-    """Kill the child's process group by pgid — never by name pattern."""
+def _kill_tree(proc: subprocess.Popen, term_grace: float = 600.0) -> None:
+    """Kill the child's process group by pgid — never by name pattern.
+
+    SIGTERM first with a grace long enough for train.py's
+    graceful-preemption checkpoint (a multi-minute full-state save through
+    the tunneled backend); only then SIGKILL.  A 30 s grace here would
+    kill the checkpoint mid-write, defeating the SIGTERM handler.
+    """
     try:
         pgid = os.getpgid(proc.pid)
     except ProcessLookupError:
         return
-    for sig in (signal.SIGTERM, signal.SIGKILL):
+    for sig, grace in ((signal.SIGTERM, term_grace),
+                       (signal.SIGKILL, 30.0)):
         try:
             os.killpg(pgid, sig)
         except ProcessLookupError:
             return
         try:
-            proc.wait(timeout=30)
+            proc.wait(timeout=grace)
             return
         except subprocess.TimeoutExpired:
             continue
@@ -138,11 +155,11 @@ def run_attempt(args, attempt: int) -> int:
                 print(f"[supervise] no activity for "
                       f"{args.stall_timeout:.0f}s — killing pid "
                       f"{proc.pid} (wedged backend?)", flush=True)
-                _kill_tree(proc)
+                _kill_tree(proc, args.term_grace)
                 return -1
     finally:
         if proc.poll() is None:
-            _kill_tree(proc)
+            _kill_tree(proc, args.term_grace)
 
 
 def main():
@@ -158,6 +175,15 @@ def main():
         if args.max_hours and (time.time() - t0) > args.max_hours * 3600:
             print("[supervise] time budget exhausted; giving up", flush=True)
             return 2
+        if rc == PREEMPTED_RC:
+            # "Preempted after a successful checkpoint" (train.py's
+            # EX_TEMPFAIL contract): the run is incomplete but cleanly
+            # resumable — relaunch immediately, no backoff, and reset the
+            # backoff ladder (this was not a crash).
+            print(f"[supervise] attempt {attempt} preempted with a saved "
+                  f"checkpoint; resuming immediately", flush=True)
+            backoff = args.backoff
+            continue
         print(f"[supervise] attempt {attempt} ended rc={rc}; retrying in "
               f"{backoff:.0f}s", flush=True)
         time.sleep(backoff)

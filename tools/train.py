@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+# Exit code for "preempted after a successful checkpoint" (EX_TEMPFAIL).
+# Distinct from 0 so the supervisor (tools/supervise_train.py) relaunches
+# with --resume instead of declaring the run complete; distinct from a
+# crash so it skips the exponential backoff.
+PREEMPTED_RC = 75
+
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
@@ -91,9 +97,11 @@ def main():
     # runs get stopped on purpose (tools/supervise_train.py); a run that
     # only checkpoints every --ckpt-every epochs would lose up to that
     # much work.  On SIGTERM, finish the in-flight step, save a full
-    # checkpoint + params export at the CURRENT step, and exit 0 (so the
-    # supervisor treats it as a clean end, not a crash to retry).  The
-    # reference has no counterpart (trainval_net.py dies where it stands).
+    # checkpoint + params export at the CURRENT step, and exit
+    # PREEMPTED_RC (75) — "incomplete but resumable", so the supervisor
+    # relaunches with --resume rather than reporting a false completion.
+    # The reference has no counterpart (trainval_net.py dies where it
+    # stands).
     import signal
     preempted = {"flag": False}
 
@@ -230,8 +238,18 @@ def main():
             print(f"{tag}, checkpoint saved to {args.ckpt_dir}", flush=True)
 
         start_epoch = int(state.step) // steps_per_epoch
+        # A mid-epoch preemption checkpoint lands at step % steps_per_epoch
+        # != 0; skip the batches that epoch already consumed so resumed
+        # runs neither re-train seen batches nor overshoot
+        # epochs*steps_per_epoch.
+        resume_skip = int(state.step) % steps_per_epoch
+        if resume_skip:
+            print(f"mid-epoch resume: skipping the first {resume_skip} "
+                  f"batches of epoch {start_epoch + 1}", flush=True)
         for epoch in range(start_epoch, cfg.train.epochs):
-            for batch in device_batches():
+            for i, batch in enumerate(device_batches()):
+                if epoch == start_epoch and i < resume_skip:
+                    continue
                 rng, sub = jax.random.split(rng)
                 state, metrics = step_fn(state, batch, sub)
                 timer.tick()
@@ -250,12 +268,27 @@ def main():
                     save(f"preempted at step {step} "
                          f"(epoch {epoch + 1}/{cfg.train.epochs})")
                     logger.close()
-                    return
+                    sys.exit(PREEMPTED_RC)
             if ((epoch + 1) % args.ckpt_every == 0
                     or epoch + 1 == cfg.train.epochs):
                 save(f"epoch {epoch + 1}/{cfg.train.epochs} done")
+                # A SIGTERM that lands DURING the save above is already
+                # covered by this checkpoint — exit now rather than
+                # running one more step and paying a second multi-minute
+                # full-state save.
+                if preempted["flag"] and epoch + 1 < cfg.train.epochs:
+                    print(f"preempted at epoch boundary "
+                          f"{epoch + 1}/{cfg.train.epochs}; checkpoint "
+                          f"already saved", flush=True)
+                    logger.close()
+                    sys.exit(PREEMPTED_RC)
             else:
                 print(f"epoch {epoch + 1}/{cfg.train.epochs} done")
+                if preempted["flag"]:
+                    save(f"preempted at epoch boundary "
+                         f"{epoch + 1}/{cfg.train.epochs}")
+                    logger.close()
+                    sys.exit(PREEMPTED_RC)
     logger.close()
 
 
