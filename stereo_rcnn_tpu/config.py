@@ -265,12 +265,15 @@ def _update_dataclass(obj: Any, overrides: Mapping[str, Any]) -> Any:
 
 
 def load_config(yaml_path: str | None = None,
-                overrides: Mapping[str, Any] | None = None) -> Config:
+                overrides: Mapping[str, Any] | None = None,
+                base: Config | None = None) -> Config:
     """Build a Config, optionally overlaying a YAML file then a dict.
 
     Mirrors the reference's ``cfg_from_file`` + ``cfg_from_list`` layering.
+    ``base`` starts the overlay from an existing config instead of the
+    defaults (e.g. ``tiny_test_config()`` + a small YAML delta in tests).
     """
-    cfg = Config()
+    cfg = Config() if base is None else base
     if yaml_path is not None:
         with open(yaml_path) as f:
             cfg = _update_dataclass(cfg, yaml.safe_load(f) or {})

@@ -23,19 +23,49 @@ from stereo_rcnn_tpu.geometry.calib import StereoCalib, default_kitti_calib
 from stereo_rcnn_tpu.train.targets import GroundTruth
 
 
+#: Per-class geometry + appearance.  ``dims`` are (h, w, l) uniform ranges
+#: roughly matching the KITTI class statistics (Car mean 1.53/1.63/3.88,
+#: Van 2.21/1.90/5.08); ``tex_offset``/``tex_contrast`` reshape the object
+#: texture distribution so classes are separable by APPEARANCE as well as
+#: size (a classifier given only size would be scale/depth-confounded):
+#: Car keeps the full-contrast noise texture, Van is washed out bright,
+#: Truck is dark and low-contrast.  Face tints (orientation signal)
+#: multiply on top identically for every class.
+_CLASS_SPECS = {
+    "Car": dict(h=(1.4, 1.8), w=(1.5, 1.8), l=(3.4, 4.5),
+                tex_offset=0.0, tex_contrast=1.0),
+    "Van": dict(h=(1.9, 2.4), w=(1.7, 2.0), l=(4.6, 5.5),
+                tex_offset=70.0, tex_contrast=0.5),
+    "Truck": dict(h=(2.8, 3.6), w=(2.3, 2.8), l=(7.0, 10.0),
+                  tex_offset=-70.0, tex_contrast=0.5),
+}
+
+
 def random_scene(rng: np.random.RandomState, n_objects: int,
-                 calib: StereoCalib, im_h: int, im_w: int
+                 calib: StereoCalib, im_h: int, im_w: int,
+                 class_names: Tuple[str, ...] = ("Car",)
                  ) -> List[KittiObject]:
-    """Sample non-overlapping-ish car poses fully visible in both views."""
+    """Sample non-overlapping-ish object poses fully visible in both views.
+
+    ``class_names`` selects which ``_CLASS_SPECS`` entries are drawn
+    (uniformly per object).  The single-class default consumes the SAME
+    rng stream as the historical Car-only renderer, so existing cached
+    scene pools and seed-keyed tests stay byte-identical.
+    """
     objs = []
     tries = 0
     while len(objs) < n_objects and tries < 200:
         tries += 1
+        # Only draw the class sample when there is a choice — keeps the
+        # rng stream identical to the historical Car-only renderer.
+        name = (class_names[rng.randint(len(class_names))]
+                if len(class_names) > 1 else class_names[0])
+        spec = _CLASS_SPECS[name]
         z = rng.uniform(8.0, 40.0)
         x = rng.uniform(-0.35, 0.35) * z
         y = 1.65 + rng.uniform(-0.1, 0.1)
-        dims = np.array([rng.uniform(1.4, 1.8), rng.uniform(1.5, 1.8),
-                         rng.uniform(3.4, 4.5)], np.float32)
+        dims = np.array([rng.uniform(*spec["h"]), rng.uniform(*spec["w"]),
+                         rng.uniform(*spec["l"])], np.float32)
         ry = rng.uniform(-np.pi, np.pi)
         from stereo_rcnn_tpu.data.kitti import (_all_corners_cam, _project_np)
         corners = _all_corners_cam(np.array([x, y, z]), dims, ry)
@@ -51,7 +81,7 @@ def random_scene(rng: np.random.RandomState, n_objects: int,
         alpha = ry - np.arctan2(x, z)
         alpha = (alpha + np.pi) % (2 * np.pi) - np.pi
         objs.append(KittiObject(
-            type="Car", truncation=0.0, occlusion=0, alpha=float(alpha),
+            type=name, truncation=0.0, occlusion=0, alpha=float(alpha),
             box=box, dims=dims, location=np.array([x, y, z], np.float32),
             ry=float(ry)))
     # Sort far-to-near so nearer cars paint over farther ones.
@@ -192,6 +222,14 @@ def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
                (small[y0_ + 1][:, x0_] * (1 - fx_) +
                 small[y0_ + 1][:, x0_ + 1] * fx_) * fy_)
 
+        # Class-conditional texture distribution (see _CLASS_SPECS).  The
+        # no-op Car case is skipped entirely so the historical Car-only
+        # rendering stays byte-identical (cached pools, seed-keyed tests).
+        spec = _CLASS_SPECS.get(o.type, _CLASS_SPECS["Car"])
+        if spec["tex_contrast"] != 1.0 or spec["tex_offset"] != 0.0:
+            tex = (128.0 + spec["tex_offset"]
+                   + spec["tex_contrast"] * (tex - 128.0))
+
         # Orientation-observable appearance: tint each column by the BEV
         # face its camera ray hits (deterministic per-face colors) and an
         # along-face brightness gradient.  The tint discontinuity between
@@ -244,8 +282,15 @@ def synthetic_batch(cfg: Config, batch: int, seed: int = 0,
     rng = np.random.RandomState(seed)
     imgs_l, imgs_r, gts = [], [], []
     means = np.asarray(cfg.backbone.pixel_means_bgr, np.float32)
+    # Render every foreground class the config trains on (multi-class
+    # configs get multi-class scenes for free); unknown names fail fast.
+    class_names = tuple(cfg.data.classes[1:])
+    unknown = [c for c in class_names if c not in _CLASS_SPECS]
+    if unknown:
+        raise ValueError(f"no synthetic renderer spec for classes "
+                         f"{unknown}; known: {sorted(_CLASS_SPECS)}")
     for b in range(batch):
-        objs = random_scene(rng, n_objects, calib_s, h, w)
+        objs = random_scene(rng, n_objects, calib_s, h, w, class_names)
         il, ir = render_pair(objs, calib_s, h, w, rng)
         annos = annotations_for_frame(objs, calib_s, float(w), cfg.data)
         gt_arrays = pack_ground_truth(annos, cfg.train.max_gt_boxes)

@@ -240,13 +240,19 @@ def frame_objects_from_labels(objs, evaluated_class: str = "Car",
     )
 
 
-def frame_objects_from_outputs(det_out, gt, n_frames: int):
+def frame_objects_from_outputs(det_out, gt, n_frames: int,
+                               cls_id: int | None = None):
     """Unpack the jit pipeline's padded ``Detections3D`` + packed
     ``GroundTruth`` into per-frame ``(gts, dets)`` FrameObjects lists.
 
     Shared by the synthetic-scene evaluation paths (``tools/smoke_e2e.py``,
     ``tools/eval_synth.py``): synthetic gts carry no occlusion/truncation
     and no ignore regions, so those fields are zeros/empty.
+
+    ``cls_id`` restricts both detections and ground truth to one
+    foreground class (KITTI AP is per-class — upstream ``test_net.py``
+    loops classes); ``None`` keeps the historical single-class behavior
+    of scoring everything together.
     """
     import jax
 
@@ -255,7 +261,10 @@ def frame_objects_from_outputs(det_out, gt, n_frames: int):
     rys = np.asarray(det_out.ry)
     gts, dets = [], []
     for b in range(n_frames):
-        sel = np.nonzero(np.asarray(det.valid[b]))[0]
+        valid = np.asarray(det.valid[b])
+        if cls_id is not None:
+            valid = valid & (np.asarray(det.cls[b]) == cls_id)
+        sel = np.nonzero(valid)[0]
         dets.append(FrameObjects(
             box2d=np.asarray(det.box_left[b])[sel],
             box3d=np.concatenate(
@@ -264,7 +273,10 @@ def frame_objects_from_outputs(det_out, gt, n_frames: int):
             score=np.asarray(det.score[b])[sel],
             occlusion=np.zeros(len(sel), int),
             truncation=np.zeros(len(sel))))
-        gsel = np.nonzero(np.asarray(gt.valid[b]))[0]
+        gvalid = np.asarray(gt.valid[b])
+        if cls_id is not None:
+            gvalid = gvalid & (np.asarray(gt.cls[b]) == cls_id)
+        gsel = np.nonzero(gvalid)[0]
         gts.append(FrameObjects(
             box2d=np.asarray(gt.left[b])[gsel],
             box3d=np.concatenate(
@@ -298,14 +310,15 @@ def write_result_file(path: str, types: Sequence[str], boxes2d: np.ndarray,
                     f"{rys[i]:.6f} {scores[i]:.4f}\n")
 
 
-def read_result_file(path: str) -> FrameObjects:
+def read_result_file(path: str,
+                     evaluated_class: str = "Car") -> FrameObjects:
     if not os.path.exists(path):
         return FrameObjects.empty()
     box2d, box3d, score = [], [], []
     with open(path) as f:
         for line in f:
             p = line.split()
-            if len(p) < 16 or p[0] != "Car":
+            if len(p) < 16 or p[0] != evaluated_class:
                 continue
             box2d.append([float(x) for x in p[4:8]])
             h, w, l = (float(x) for x in p[8:11])

@@ -251,7 +251,15 @@ def proposal_targets(prop_left: jnp.ndarray, prop_right: jnp.ndarray,
     box_targets = encode_stereo_boxes(rois_l, gt.left[g_idx],
                                       gt.right[g_idx], off) \
         / jnp.asarray(cfg.bbox_target_stds)
-    dim_targets = gt.dims[g_idx] - jnp.asarray(cfg.mean_dims_hwl)
+    # Dim targets are offsets from the PER-CLASS mean size (reference
+    # encodes dims relative to the class mean; ``mean_dims_hwl`` may be a
+    # flat [3] shared across classes or [K-1, 3] per foreground class —
+    # indexed here exactly as models/detector.py::postprocess_boxes decodes
+    # them, so train/test stay inverse operations).  bg rows (cls 0) clamp
+    # to class 1's mean; their dim loss weight is zero.
+    mean_dims = jnp.asarray(cfg.mean_dims_hwl, jnp.float32).reshape(-1, 3)
+    dim_targets = gt.dims[g_idx] - mean_dims[
+        jnp.clip(cls - 1, 0, mean_dims.shape[0] - 1)]
     orien_targets = jnp.stack([jnp.sin(gt.alpha[g_idx]),
                                jnp.cos(gt.alpha[g_idx])], axis=-1)
 

@@ -64,9 +64,13 @@ def main():
           f"(latest: {latest_step(args.ckpt_dir)})")
     params = {"params": state.params["model"]}
 
-    gts, dets = [], []
+    # Per evaluated class (KITTI AP is per-class); the single-class
+    # default is one unprefixed pass, identical to the historical output.
+    fg = [(i + 1, name) for i, name in enumerate(cfg.data.classes[1:])]
+    per_cls = {c: ([], []) for c, _ in fg}
     pipeline = None
     t0 = time.time()
+    n_det = n_gt = 0
     for i in range(args.batches):
         il, ir, gt, calib = synthetic_batch(cfg, batch=args.batch,
                                             seed=1000 + i,
@@ -74,19 +78,26 @@ def main():
         if pipeline is None:
             pipeline = jax.jit(make_full_pipeline(cfg, calib))
         out = pipeline(params, jnp.asarray(il), jnp.asarray(ir))
-        g, d = frame_objects_from_outputs(out, gt, args.batch)
-        gts += g
-        dets += d
-    n_det = sum(len(d.score) for d in dets)
-    n_gt = sum(len(g.score) for g in gts)
+        for c, _ in fg:
+            g, d = frame_objects_from_outputs(
+                out, gt, args.batch, cls_id=c if len(fg) > 1 else None)
+            per_cls[c][0].extend(g)
+            per_cls[c][1].extend(d)
+            n_det += sum(len(x.score) for x in d)
+            n_gt += sum(len(x.score) for x in g)
+            if len(fg) == 1:
+                break
     print(f"{args.batches * args.batch} held-out frames in "
           f"{time.time() - t0:.0f}s — {n_det} detections / {n_gt} gts")
 
-    for metric, thresh in (("2d", 0.7), ("2d", 0.5), ("bev", 0.7),
-                           ("bev", 0.5), ("3d", 0.7), ("3d", 0.5)):
-        r = evaluate(gts, dets, metric=metric, iou_thresh=thresh)
-        print(f"AP_{metric}@{thresh} (R40): " + " / ".join(
-            f"{d}={r[d]:.2f}" for d in ("easy", "moderate", "hard")))
+    for c, cname in fg:
+        prefix = f"[{cname}] " if len(fg) > 1 else ""
+        gts, dets = per_cls[c]
+        for metric, thresh in (("2d", 0.7), ("2d", 0.5), ("bev", 0.7),
+                               ("bev", 0.5), ("3d", 0.7), ("3d", 0.5)):
+            r = evaluate(gts, dets, metric=metric, iou_thresh=thresh)
+            print(f"{prefix}AP_{metric}@{thresh} (R40): " + " / ".join(
+                f"{d}={r[d]:.2f}" for d in ("easy", "moderate", "hard")))
 
 
 if __name__ == "__main__":

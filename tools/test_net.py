@@ -33,6 +33,10 @@ def parse_args():
     p.add_argument("--out", default="results")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--config", default=None,
+                   help="YAML config overlay (over the tiny base when "
+                        "--tiny is also given); must match the "
+                        "checkpoint's training config")
     p.add_argument("--image-ext", default=".png")
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
                    help="cpu: force local CPU devices (debug / CI; the "
@@ -47,7 +51,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from stereo_rcnn_tpu.utils.cache import enable_compile_cache
     enable_compile_cache("eval", fingerprint=(args.platform == "cpu"))
-    from stereo_rcnn_tpu.config import Config, tiny_test_config
+    from stereo_rcnn_tpu.config import load_config, tiny_test_config
     from stereo_rcnn_tpu.data import KittiDataset, KittiPipeline
     from stereo_rcnn_tpu.data.kitti import parse_label_file
     from stereo_rcnn_tpu.evalkit import (FrameObjects, evaluate,
@@ -58,7 +62,8 @@ def main():
     from stereo_rcnn_tpu.train import init_train_state
     from stereo_rcnn_tpu.train.checkpoint import restore_checkpoint
 
-    cfg = tiny_test_config() if args.tiny else Config()
+    cfg = load_config(args.config,
+                      base=tiny_test_config() if args.tiny else None)
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, kitti_root=args.kitti_root))
     ds = KittiDataset(cfg.data)
@@ -83,7 +88,10 @@ def main():
     pipeline = jax.jit(make_full_pipeline(cfg))
 
     os.makedirs(args.out, exist_ok=True)
-    gts, dets = [], []
+    # Per-frame raw material for the per-class AP loop below: detections
+    # keep their class ids; gt label objects are re-filtered per evaluated
+    # class (upstream ``test_net.py`` loops imdb classes the same way).
+    det_frames, gt_objs = [], []
     frame = 0
     t0 = time.time()
     for pb in pipe:
@@ -107,29 +115,45 @@ def main():
             rys = ry[b][sel]
             alphas = np.asarray(det.alpha[b])[sel]
             scores = np.asarray(det.score[b])[sel]
-            cls_names = [cfg.data.classes[c]
-                         for c in np.asarray(det.cls[b])[sel]]
+            cls_ids = np.asarray(det.cls[b])[sel]
+            cls_names = [cfg.data.classes[c] for c in cls_ids]
             write_result_file(
                 os.path.join(args.out, f"{fid}.txt"), cls_names,
                 boxes2d, dims, locs, rys, alphas, scores)
-            dets.append(FrameObjects(
+            det_frames.append((FrameObjects(
                 box2d=boxes2d,
                 box3d=np.concatenate([locs, dims, rys[:, None]], -1),
                 score=scores, occlusion=np.zeros(n, int),
-                truncation=np.zeros(n)))
-            objs = parse_label_file(ds.paths(frame)["label"])
-            gts.append(frame_objects_from_labels(objs))
+                truncation=np.zeros(n)), cls_ids))
+            gt_objs.append(parse_label_file(ds.paths(frame)["label"]))
             frame += 1
     dt = time.time() - t0
     print(f"{frame} frames in {dt:.1f}s ({frame / dt:.2f} pairs/s)")
 
-    for metric, thresh in (("3d", 0.7), ("3d", 0.5), ("bev", 0.7),
-                           ("bev", 0.5), ("2d", 0.7)):
-        for n_points in (40, 11):
-            res = evaluate(gts, dets, metric=metric, iou_thresh=thresh,
-                           n_points=n_points)
-            print(f"AP_{metric}@{thresh} (R{n_points}): " + " / ".join(
-                f"{d}={res[d]:.2f}" for d in ("easy", "moderate", "hard")))
+    def _take(fo: FrameObjects, keep: np.ndarray) -> FrameObjects:
+        return FrameObjects(fo.box2d[keep], fo.box3d[keep], fo.score[keep],
+                            fo.occlusion[keep], fo.truncation[keep])
+
+    # KITTI AP is per evaluated class.  Devkit neighbor-ignore pairs: Van
+    # gts are ignored when scoring Car (and vice versa) so boxes of the
+    # sibling type absorb matches instead of counting as FPs.
+    neighbors = {"Car": ("Van",), "Van": ("Car",),
+                 "Pedestrian": ("Person_sitting",)}
+    fg = [(i + 1, name) for i, name in enumerate(cfg.data.classes[1:])]
+    for cls_id, cname in fg:
+        prefix = f"[{cname}] " if len(fg) > 1 else ""
+        gts = [frame_objects_from_labels(
+            objs, evaluated_class=cname,
+            neighbor_classes=neighbors.get(cname, ())) for objs in gt_objs]
+        dets = [_take(fo, ids == cls_id) for fo, ids in det_frames]
+        for metric, thresh in (("3d", 0.7), ("3d", 0.5), ("bev", 0.7),
+                               ("bev", 0.5), ("2d", 0.7)):
+            for n_points in (40, 11):
+                res = evaluate(gts, dets, metric=metric, iou_thresh=thresh,
+                               n_points=n_points)
+                print(f"{prefix}AP_{metric}@{thresh} (R{n_points}): "
+                      + " / ".join(f"{d}={res[d]:.2f}"
+                                   for d in ("easy", "moderate", "hard")))
 
 
 if __name__ == "__main__":

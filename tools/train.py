@@ -77,7 +77,10 @@ def main():
                                                   save_checkpoint)
     from stereo_rcnn_tpu.utils.metrics import MetricsLogger, StepTimer
 
-    cfg = tiny_test_config() if args.tiny else load_config(args.config)
+    # --tiny and --config compose: the YAML overlays the tiny base (so
+    # tests can run small deltas, e.g. a 3-class tiny config).
+    cfg = load_config(args.config,
+                      base=tiny_test_config() if args.tiny else None)
     overrides = {}
     if args.epochs is not None:
         overrides["epochs"] = args.epochs
@@ -136,7 +139,12 @@ def main():
             # size, batch, gt padding, renderer defaults AND a renderer
             # version (bump when data/synthetic.py's output changes) — or
             # a config/code change silently trains on stale scenes.
-            key = (f"v3_{cfg.data.image_h}x{cfg.data.image_w}"
+            # Class set is content-affecting too (multi-class scenes);
+            # the Car-only default keeps the historical key so existing
+            # cached pools stay valid.
+            cls_tag = ("" if tuple(cfg.data.classes[1:]) == ("Car",)
+                       else "_" + "-".join(cfg.data.classes[1:]))
+            key = (f"v3{cls_tag}_{cfg.data.image_h}x{cfg.data.image_w}"
                    f"_b{global_batch}_g{cfg.train.max_gt_boxes}"
                    f"_s{s}.npz")
             path = os.path.join(cache_dir, key)
