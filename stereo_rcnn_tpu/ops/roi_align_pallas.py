@@ -354,6 +354,211 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
 # columns; P4/P5 are small enough to window (nearly) whole.
 _STEREO_WIN = [(48, 64), (48, 64), (24, 64), (12, 40)]
 
+# ---------------------------------------------------------------------------
+# Branchless ATLAS forward (negative result, kept as a tested experiment).
+#
+# Hypothesis: the per-level `pl.when` forward above constructs 4 (levels)
+# x 2 (sides) x 2 (start/wait phases) = 16 predicated DMA descriptors per
+# grid step, and that scalar bookkeeping dominates the ~8 us step.
+# Packing the pyramid levels row-wise into ONE per-image atlas turns the
+# level lookup into a static row offset, so each step issues exactly one
+# unconditional fixed-shape window DMA per side and the body is branchless.
+#
+# MEASURED (v5e, tools/bench_roialign.py, batch 16 x 300 rois): the atlas
+# kernel is *slightly slower* (+45 ms vs +39 ms per batch-16 pipeline) —
+# predication was never the cost, because only the taken level's
+# descriptors actually execute; the per-step floor is the serialized
+# 48x64x256 window DMA + two MXU contractions, identical in both designs.
+# Kept because (a) the parity test pins the hat-weight zero-extension
+# argument below, which future window-shrinking work relies on, and
+# (b) it is the natural starting point for a multi-roi-per-step variant.
+#
+# Correctness at level boundaries needs no masking: a window that extends
+# past its level's rows/cols (short levels, or P5's 40 < 64 columns) reads
+# neighbouring-level or padding cells, but the sampling positions are
+# clamped to the level's true extent (dynamic per-roi scalars), and the
+# linear-interpolation hat weight max(0, 1 - |iota - x|) is EXACTLY zero
+# for every cell >= 1 past a clamped position — garbage cells contribute
+# 0.0 * garbage = 0.0 to the f32 accumulation, which changes nothing.
+# ---------------------------------------------------------------------------
+
+_ATLAS_WIN = (48, 64)      # static window; covers every per-level window
+
+
+def _pack_atlas(feats):
+    """Row-concatenate pyramid levels (widths zero-padded to the max) plus
+    a window-high runway so the last level's window DMA stays in bounds.
+    Returns (atlas [sum H_l + WIN_H, W_max, C], row offsets per level)."""
+    wmax = max(f.shape[1] for f in feats)
+    c = feats[0].shape[-1]
+    rows = [jnp.pad(f, ((0, 0), (0, wmax - f.shape[1]), (0, 0)))
+            for f in feats]
+    rows.append(jnp.zeros((_ATLAS_WIN[0], wmax, c), feats[0].dtype))
+    offs = [0]
+    for f in feats:
+        offs.append(offs[-1] + f.shape[0])
+    return jnp.concatenate(rows, 0), offs[:-1]
+
+
+def _atlas_meta(level_shapes, rois, strides, ps):
+    """meta [R, 4] (atlas y0, x0, valid, unused) + geom [R, 6]
+    (y1, x1, bin_h, bin_w, clamp_y, clamp_x) for the atlas kernel."""
+    win_shapes = [(min(h, bh), min(w, bw))
+                  for (h, w), (bh, bw) in zip(level_shapes, _STEREO_WIN)]
+    meta, geom = _roi_window_meta(level_shapes, win_shapes, rois,
+                                  strides, ps)
+    levels = meta[:, 0]
+    offs = [0]
+    for h, _ in level_shapes:
+        offs.append(offs[-1] + h)
+    y0_atlas = meta[:, 1] + jnp.asarray(offs[:-1], jnp.int32)[levels]
+    # Sample-position clamp bounds: the level's true extent inside the
+    # window (identical to the per-level kernel's static wh-1 / ww-1).
+    clamp_y = jnp.asarray([h - 1 for h, _ in win_shapes],
+                          jnp.float32)[levels]
+    clamp_x = jnp.asarray([w - 1 for _, w in win_shapes],
+                          jnp.float32)[levels]
+    meta_a = jnp.stack([y0_atlas, meta[:, 2], meta[:, 3],
+                        jnp.zeros_like(levels)], -1).astype(jnp.int32)
+    geom_a = jnp.concatenate([geom, clamp_y[:, None], clamp_x[:, None]], -1)
+    return meta_a, geom_a
+
+
+def _sample_grid_clamped(window, wh, ww, c, ps, y1, x1, bin_h, bin_w,
+                         hi_y, hi_x):
+    """:func:`_sample_grid` with DYNAMIC clamp bounds (the level's true
+    extent inside the fixed-size atlas window)."""
+    grid = (jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)[:, 0]
+            .astype(jnp.float32) + 0.5)
+    ys = jnp.clip(y1 + grid * bin_h, 0.0, hi_y)
+    xs = jnp.clip(x1 + grid * bin_w, 0.0, hi_x)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (ps, wh),
+                                      1).astype(jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (ps, ww),
+                                      1).astype(jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(iota_h - ys[:, None]))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w - xs[:, None]))
+    tmp = jnp.dot(wy, window.reshape(wh, ww * c),
+                  preferred_element_type=jnp.float32).reshape(ps, ww, c)
+    out = jax.lax.dot_general(
+        wx, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.swapaxes(out, 0, 1)                   # [ps(y), ps(x), C]
+
+
+def _stereo_kernel_atlas(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref,
+                         atlas_l_ref, atlas_r_ref, out14l_ref, out7l_ref,
+                         out7r_ref, scratch_l, scratch_r, sem_l, sem_r,
+                         *, p: int, pk: int, c: int, n_rois: int):
+    """One roi per grid step; ONE fixed-shape window DMA per side, no
+    per-level branches; double-buffered (ping-pong slots) like the
+    per-level kernel."""
+    wh, ww = _ATLAS_WIN
+    i = pl.program_id(0)
+    ps = pk
+
+    def start(meta_ref, atlas_ref, scratch, sem, j, slot):
+        y0 = meta_ref[j, 0]
+        x0 = pl.multiple_of(meta_ref[j, 1], 8)
+        pltpu.make_async_copy(
+            atlas_ref.at[pl.ds(y0, wh), pl.ds(x0, ww), :],
+            scratch.at[slot], sem.at[slot]).start()
+
+    def wait(meta_ref, atlas_ref, scratch, sem, j, slot):
+        y0 = meta_ref[j, 0]
+        x0 = pl.multiple_of(meta_ref[j, 1], 8)
+        pltpu.make_async_copy(
+            atlas_ref.at[pl.ds(y0, wh), pl.ds(x0, ww), :],
+            scratch.at[slot], sem.at[slot]).wait()
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    @pl.when(i == 0)
+    def _():
+        start(meta_l_ref, atlas_l_ref, scratch_l, sem_l, 0, 0)
+        start(meta_r_ref, atlas_r_ref, scratch_r, sem_r, 0, 0)
+
+    @pl.when(i + 1 < n_rois)
+    def _():
+        start(meta_l_ref, atlas_l_ref, scratch_l, sem_l, i + 1, nxt)
+        start(meta_r_ref, atlas_r_ref, scratch_r, sem_r, i + 1, nxt)
+
+    wait(meta_l_ref, atlas_l_ref, scratch_l, sem_l, i, slot)
+    wait(meta_r_ref, atlas_r_ref, scratch_r, sem_r, i, slot)
+
+    valid_l = (meta_l_ref[i, 2] > 0).astype(jnp.float32)
+    valid_r = (meta_r_ref[i, 2] > 0).astype(jnp.float32)
+
+    samples = _sample_grid_clamped(
+        scratch_l[slot], wh, ww, c, ps,
+        geom_l_ref[i, 0], geom_l_ref[i, 1], geom_l_ref[i, 2],
+        geom_l_ref[i, 3], geom_l_ref[i, 4], geom_l_ref[i, 5]) * valid_l
+    out14l_ref[0] = samples
+    out7l_ref[0] = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
+
+    samples_r = _sample_grid_clamped(
+        scratch_r[slot], wh, ww, c, ps,
+        geom_r_ref[i, 0], geom_r_ref[i, 1], geom_r_ref[i, 2],
+        geom_r_ref[i, 3], geom_r_ref[i, 4], geom_r_ref[i, 5]) * valid_r
+    out7r_ref[0] = samples_r.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
+
+
+def stereo_roi_align_pallas_atlas(feats_l, feats_r, rois_l, rois_r,
+                                  strides, pooling_size: int = 7,
+                                  kpt_size: int = 14,
+                                  interpret: bool = False):
+    """Atlas-packed branchless fused stereo RoIAlign for one image.
+
+    Same signature and semantics as :func:`stereo_roi_align_pallas`
+    (parity-tested).  Measured NO faster than the per-level kernel on the
+    v5e (see the block comment above) — not used by the production path;
+    kept as the pinned-correct starting point for multi-roi-per-step work.
+    """
+    assert kpt_size == pooling_size * 2
+    r = rois_l.shape[0]
+    c = feats_l[0].shape[-1]
+    level_shapes = [(f.shape[0], f.shape[1]) for f in feats_l]
+
+    atlas_l, _ = _pack_atlas(list(feats_l))
+    atlas_r, _ = _pack_atlas(list(feats_r))
+    meta_l, geom_l = _atlas_meta(level_shapes, rois_l, strides, kpt_size)
+    meta_r, geom_r = _atlas_meta(level_shapes, rois_r, strides, kpt_size)
+
+    wh, ww = _ATLAS_WIN
+    p = pooling_size
+    kernel = functools.partial(_stereo_kernel_atlas, p=p, pk=kpt_size,
+                               c=c, n_rois=r)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(r,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(
+            pl.BlockSpec((1, kpt_size, kpt_size, c),
+                         lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((2, wh, ww, c), feats_l[0].dtype)] * 2 +
+            [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]),
+    )
+    out14l, out7l, out7r = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((r, kpt_size, kpt_size, c), jnp.float32),
+            jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
+            jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(meta_l, geom_l, meta_r, geom_r, atlas_l, atlas_r)
+    return out7l, out7r, out14l
+
 
 def _auto_interpret(interpret):
     """interpret=None -> interpret mode everywhere except real TPU, so the
@@ -615,7 +820,7 @@ def stereo_roi_align_batched(feats_l, feats_r, rois_l, rois_r, strides,
     where RoI coordinates are not differentiated either).
     """
     interpret = _auto_interpret(interpret)
-    fn = functools.partial(stereo_roi_align_pallas, strides=strides,
+    fn = functools.partial(stereo_roi_align_pallas_atlas, strides=strides,
                            pooling_size=pooling_size, kpt_size=kpt_size,
                            interpret=interpret)
     return jax.vmap(lambda fl, fr, rl, rr: fn(list(fl), list(fr), rl, rr))(

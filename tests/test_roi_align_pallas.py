@@ -78,3 +78,39 @@ def test_fused_stereo_kernel_matches_xla(pyramid):
                                atol=2e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out14l), np.asarray(ref14l),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_atlas_stereo_kernel_matches_per_level_kernel(pyramid):
+    """The branchless atlas forward must reproduce the per-level-branch
+    kernel (and hence the XLA reference) exactly: garbage atlas cells
+    beyond a level's extent carry exactly-zero hat weights."""
+    feats, strides, h, w = pyramid
+    r = np.random.RandomState(9)
+    rois_l, rois_r = [], []
+    # Sizes spanning every level assignment, INCLUDING border-clamped and
+    # tiny P2 rois, plus a zero-area padded roi.
+    for size in (16, 40, 90, 180, 230):
+        for _ in range(3):
+            x1 = r.uniform(0, max(w - size, 1))
+            y1 = r.uniform(0, max(h - size / 2, 1))
+            box = [x1, y1, min(x1 + size, w - 1.0),
+                   min(y1 + size / 2, h - 1.0)]
+            rois_l.append(box)
+            rois_r.append([max(box[0] - 12, 0.0), box[1],
+                           max(box[2] - 12, 1.0), box[3]])
+    rois_l.append([0.0, 0.0, 0.0, 0.0])
+    rois_r.append([0.0, 0.0, 0.0, 0.0])
+    rois_l = jnp.asarray(np.asarray(rois_l, np.float32))
+    rois_r = jnp.asarray(np.asarray(rois_r, np.float32))
+
+    from stereo_rcnn_tpu.ops.roi_align_pallas import (
+        stereo_roi_align_pallas, stereo_roi_align_pallas_atlas)
+    ref = stereo_roi_align_pallas(feats, feats, rois_l, rois_r, strides,
+                                  7, 14, interpret=True)
+    out = stereo_roi_align_pallas_atlas(feats, feats, rois_l, rois_r,
+                                        strides, 7, 14, interpret=True)
+    for o, rf in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(rf),
+                                   atol=1e-5, rtol=1e-5)
+    # The padded zero-area roi produced exactly zero output.
+    assert float(jnp.abs(out[0][-1]).max()) == 0.0

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Microbenchmark of the fused stereo RoIAlign kernels on the real TPU.
+
+Times the per-level-branch kernel, the branchless atlas kernel, and the
+XLA atlas fallback at production shapes (batch x 300 rois, 4-level
+bf16 pyramid of a 384x1280 image, C=256), printing us/roi so kernel
+changes can be judged in isolation from the rest of the pipeline.
+
+Usage: python tools/bench_roialign.py [--batch 16] [--rois 300]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def realistic_rois(rng, n, im_h, im_w):
+    """Car-like boxes across the level-assignment range."""
+    out = []
+    for _ in range(n):
+        size = float(np.exp(rng.uniform(np.log(24), np.log(500))))
+        ar = rng.uniform(0.8, 3.0)                    # w/h, car-like
+        w = size * np.sqrt(ar)
+        h = size / np.sqrt(ar)
+        x1 = rng.uniform(0, max(im_w - w, 1))
+        y1 = rng.uniform(0, max(im_h - h, 1))
+        out.append([x1, y1, min(x1 + w, im_w - 1), min(y1 + h, im_h - 1)])
+    return np.asarray(out, np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--rois", type=int, default=300)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    from stereo_rcnn_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache("perf")
+    from stereo_rcnn_tpu.ops.roi_align import multilevel_roi_align
+    from stereo_rcnn_tpu.ops.roi_align_pallas import (
+        stereo_roi_align_pallas, stereo_roi_align_pallas_atlas)
+
+    im_h, im_w, c = 384, 1280, 256
+    strides = (4, 8, 16, 32)
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.rand(args.batch, im_h // s, im_w // s, c),
+                         jnp.bfloat16) for s in strides]
+    rois = jnp.asarray(np.stack([
+        realistic_rois(rng, args.rois, im_h, im_w)
+        for _ in range(args.batch)]))
+    rois_r = rois - jnp.array([30.0, 0.0, 30.0, 0.0])
+
+    n_total = args.batch * args.rois
+
+    def timeit(name, fn):
+        f = jax.jit(fn)
+        out = f(feats, rois, rois_r)
+        float(jnp.asarray(jax.tree.leaves(out)[0]).sum())      # warm-up
+        t0 = time.time()
+        for _ in range(args.iters - 1):
+            out = f(feats, rois, rois_r)
+        float(jnp.asarray(jax.tree.leaves(out)[0]).sum())
+        dt = (time.time() - t0) / args.iters
+        print(f"{name:28s} {dt * 1000:8.2f} ms/batch   "
+              f"{dt / n_total * 1e6:6.2f} us/roi")
+        return dt
+
+    def run_kernel(kfn):
+        def f(fl, rl, rr):
+            return jax.vmap(lambda f_, a, b: kfn(
+                list(f_), list(f_), a, b, strides, 7, 14,
+                interpret=False))(tuple(fl), rl, rr)
+        return f
+
+    def run_xla(fl, rl, rr):
+        def one(f_, a, b):
+            p7l = multilevel_roi_align(list(f_), a, strides, 7, 2)
+            p7r = multilevel_roi_align(list(f_), b, strides, 7, 2)
+            p14 = multilevel_roi_align(list(f_), a, strides, 14, 1)
+            return p7l, p7r, p14
+        return jax.vmap(one)(tuple(fl), rl, rr)
+
+    print(f"batch={args.batch} rois={args.rois} "
+          f"({n_total} windows/step), C={c}, bf16 pyramid of {im_h}x{im_w}")
+    timeit("pallas per-level branches", run_kernel(stereo_roi_align_pallas))
+    timeit("pallas atlas branchless",
+           run_kernel(stereo_roi_align_pallas_atlas))
+    timeit("xla atlas gather", run_xla)
+
+
+if __name__ == "__main__":
+    main()

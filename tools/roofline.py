@@ -99,6 +99,38 @@ def main():
         props = jax.vmap(sel)(logits, deltas)
         return props.left.sum() + props.valid.sum()
 
+    def upto_roialign(params, l, r):
+        b = l.shape[0]
+        feats = model.apply(params, jnp.concatenate([l, r], 0),
+                            method=lambda m, x: m.backbone(x))
+        fl, fr = [f[:b] for f in feats], [f[b:] for f in feats]
+        logits, deltas = model.apply(params, fl, fr,
+                                     method=lambda m, a, c: m.rpn(a, c))
+        anchors = generate_anchors(cfg.anchors, h, w, off=cfg.box_off)
+        sel = functools.partial(select_proposals, anchors=anchors, im_h=h,
+                                im_w=w, cfg=cfg.rpn, train=False,
+                                off=cfg.box_off)
+        props = jax.vmap(sel)(logits, deltas)
+        pooled = model.apply(
+            params, fl, fr, props.left, props.right,
+            method=lambda m, a, c, rl, rr: roi_features(m, a, c, rl, rr))
+        return pooled["concat"].sum().astype(jnp.float32)
+
+    def upto_heads(params, l, r):
+        raw = model.apply(params, l, r,
+                          method=lambda m, a, c: forward_raw(m, a, c,
+                                                             train=False))
+        return (raw["rcnn"].cls_logits.sum()
+                + raw["rcnn"].box_deltas.sum().astype(jnp.float32))
+
+    def upto_post(params, l, r):
+        raw = model.apply(params, l, r,
+                          method=lambda m, a, c: forward_raw(m, a, c,
+                                                             train=False))
+        det, idx, rois = postprocess_boxes(raw, cfg, h, w)
+        det = run_keypoints(model, params, raw, det, idx, rois)
+        return det.box_left.sum() + det.kpt_u.sum()
+
     def full_3d(params, l, r, calib_b):
         raw = model.apply(params, l, r,
                           method=lambda m, a, c: forward_raw(m, a, c,
@@ -128,6 +160,9 @@ def main():
         stages = [
             ("backbone+FPN(LR)", lambda p, l, r: backbone_only(p, l, r)),
             ("+rpn+proposals", lambda p, l, r: upto_rpn(p, l, r)),
+            ("+roialign", lambda p, l, r: upto_roialign(p, l, r)),
+            ("+heads", lambda p, l, r: upto_heads(p, l, r)),
+            ("+postprocess+kpt", lambda p, l, r: upto_post(p, l, r)),
             ("full pipeline", lambda p, l, r: full_3d(p, l, r, calib_b)),
         ]
         print(f"\nbatch={batch} impl={args.impl} res={h}x{w}  "
