@@ -172,8 +172,8 @@ def _surface_depth_np(us: np.ndarray, location: np.ndarray,
 
 
 def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
-                im_w: int, rng: np.random.RandomState
-                ) -> Tuple[np.ndarray, np.ndarray]:
+                im_w: int, rng: np.random.RandomState,
+                tints: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     """Paint each car with PHYSICALLY CORRECT per-pixel stereo
     correspondence; background is smooth noise.  Returns float32 BGR-ish
     images in [0, 255], shape [H, W, 3].
@@ -183,7 +183,13 @@ def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
     where z_surface is the ray-cast depth of the visible box surface for
     that column — the same geometry dense alignment models, so sub-pixel
     photometric refinement is well-posed on these scenes (a flat-sprite
-    constant shift would bias it by the surface-vs-edge depth gap)."""
+    constant shift would bias it by the surface-vs-edge depth gap).
+
+    ``tints=False`` renders WITHOUT the per-face tints / along-face
+    gradient (a held-out eval domain: orientation is then observable only
+    from the stereo disparity profile, not appearance).  It consumes the
+    identical rng stream as the tinted render, so the same seed yields
+    the SAME scene geometry and textures across domains."""
     def smooth_noise():
         small = rng.rand(im_h // 8 + 1, im_w // 8 + 1, 3) * 255
         img = np.kron(small, np.ones((8, 8, 1)))[:im_h, :im_w]
@@ -240,9 +246,10 @@ def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
         us = np.arange(xi1, xi2, dtype=np.float64) + 0.5
         zs, face, along, hit = _surface_profile_np(
             us, o.location, o.dims, o.ry, calib)
-        gain = _FACE_TINTS[face] * (0.85 + 0.25 * along)[:, None]
-        gain = np.where(hit[:, None], gain, 1.0)
-        tex = np.clip(tex * gain[None, :, :], 0.0, 255.0)
+        if tints:
+            gain = _FACE_TINTS[face] * (0.85 + 0.25 * along)[:, None]
+            gain = np.where(hit[:, None], gain, 1.0)
+            tex = np.clip(tex * gain[None, :, :], 0.0, 255.0)
         left[yi1:yi2, xi1:xi2] = tex
 
         # Right view: bilinear-splat each left column at u - f*b/z(u).
@@ -271,9 +278,28 @@ def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
     return left, right
 
 
+#: Held-out evaluation domains (tools/eval_synth.py --domain): appearance
+#: perturbations the training renderer NEVER produces, applied to the SAME
+#: scene geometry/textures (perturbation draws come from a separate
+#: per-frame rng so the scene stream is untouched).  They bound how much
+#: of a synthetic AP number is an artifact of evaluating inside the
+#: training renderer's own quirks (VERDICT round-4 weak #5):
+#:   none     — the training distribution
+#:   untinted — no face tints/gradient: yaw observable ONLY from the
+#:              disparity profile, not appearance
+#:   illum    — global per-frame brightness/contrast shift (consistent
+#:              across the stereo pair, so photometric matching holds)
+#:   noise    — independent per-view sensor noise (sigma 8/255): breaks
+#:              exact left/right photometric identity, stressing dense
+#:              alignment's sub-pixel refinement
+EVAL_DOMAINS = ("none", "untinted", "illum", "noise")
+
+
 def synthetic_batch(cfg: Config, batch: int, seed: int = 0,
-                    n_objects: int = 4):
+                    n_objects: int = 4, domain: str = "none"):
     """Images + packed GroundTruth for ``train.step.Batch``."""
+    if domain not in EVAL_DOMAINS:
+        raise ValueError(f"unknown domain {domain!r}; known: {EVAL_DOMAINS}")
     calib = default_kitti_calib()
     h, w = cfg.data.image_h, cfg.data.image_w
     # Scale nominal KITTI calib (1242x375) to our working resolution.
@@ -291,7 +317,22 @@ def synthetic_batch(cfg: Config, batch: int, seed: int = 0,
                          f"{unknown}; known: {sorted(_CLASS_SPECS)}")
     for b in range(batch):
         objs = random_scene(rng, n_objects, calib_s, h, w, class_names)
-        il, ir = render_pair(objs, calib_s, h, w, rng)
+        il, ir = render_pair(objs, calib_s, h, w, rng,
+                             tints=(domain != "untinted"))
+        if domain in ("illum", "noise"):
+            # Separate rng: the scene stream above stays untouched, so
+            # every domain evaluates the IDENTICAL scenes.
+            prng = np.random.RandomState((seed * 1000003 + b) % (1 << 31))
+            if domain == "illum":
+                gain = prng.uniform(0.55, 1.35)
+                off = prng.uniform(-25.0, 25.0)
+                il = np.clip(il * gain + off, 0.0, 255.0)
+                ir = np.clip(ir * gain + off, 0.0, 255.0)
+            else:
+                il = np.clip(il + prng.randn(*il.shape) * 8.0, 0.0, 255.0)
+                ir = np.clip(ir + prng.randn(*ir.shape) * 8.0, 0.0, 255.0)
+            il = il.astype(np.float32)
+            ir = ir.astype(np.float32)
         annos = annotations_for_frame(objs, calib_s, float(w), cfg.data)
         gt_arrays = pack_ground_truth(annos, cfg.train.max_gt_boxes)
         imgs_l.append(il - means)

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--platform", default="auto", choices=["auto", "cpu"])
     ap.add_argument("--step", type=int, default=None,
                     help="checkpoint step to restore (default: latest)")
+    ap.add_argument("--domain", default="none",
+                    help="held-out appearance domain(s), comma-separated "
+                         "or 'all' (none/untinted/illum/noise): same "
+                         "scenes, perturbed appearance — bounds renderer "
+                         "circularity in the AP claim")
     args = ap.parse_args()
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -64,40 +69,47 @@ def main():
           f"(latest: {latest_step(args.ckpt_dir)})")
     params = {"params": state.params["model"]}
 
+    from stereo_rcnn_tpu.data.synthetic import EVAL_DOMAINS
+    domains = (list(EVAL_DOMAINS) if args.domain == "all"
+               else args.domain.split(","))
+
     # Per evaluated class (KITTI AP is per-class); the single-class
     # default is one unprefixed pass, identical to the historical output.
     fg = [(i + 1, name) for i, name in enumerate(cfg.data.classes[1:])]
-    per_cls = {c: ([], []) for c, _ in fg}
     pipeline = None
-    t0 = time.time()
-    n_det = n_gt = 0
-    for i in range(args.batches):
-        il, ir, gt, calib = synthetic_batch(cfg, batch=args.batch,
-                                            seed=1000 + i,
-                                            n_objects=args.n_objects)
-        if pipeline is None:
-            pipeline = jax.jit(make_full_pipeline(cfg, calib))
-        out = pipeline(params, jnp.asarray(il), jnp.asarray(ir))
-        for c, _ in fg:
-            g, d = frame_objects_from_outputs(
-                out, gt, args.batch, cls_id=c if len(fg) > 1 else None)
-            per_cls[c][0].extend(g)
-            per_cls[c][1].extend(d)
-            n_det += sum(len(x.score) for x in d)
-            n_gt += sum(len(x.score) for x in g)
-            if len(fg) == 1:
-                break
-    print(f"{args.batches * args.batch} held-out frames in "
-          f"{time.time() - t0:.0f}s — {n_det} detections / {n_gt} gts")
+    for domain in domains:
+        per_cls = {c: ([], []) for c, _ in fg}
+        t0 = time.time()
+        n_det = n_gt = 0
+        for i in range(args.batches):
+            il, ir, gt, calib = synthetic_batch(cfg, batch=args.batch,
+                                                seed=1000 + i,
+                                                n_objects=args.n_objects,
+                                                domain=domain)
+            if pipeline is None:
+                pipeline = jax.jit(make_full_pipeline(cfg, calib))
+            out = pipeline(params, jnp.asarray(il), jnp.asarray(ir))
+            for c, _ in fg:
+                g, d = frame_objects_from_outputs(
+                    out, gt, args.batch, cls_id=c if len(fg) > 1 else None)
+                per_cls[c][0].extend(g)
+                per_cls[c][1].extend(d)
+                n_det += sum(len(x.score) for x in d)
+                n_gt += sum(len(x.score) for x in g)
+                if len(fg) == 1:
+                    break
+        dtag = f"[domain={domain}] " if len(domains) > 1 else ""
+        print(f"{dtag}{args.batches * args.batch} held-out frames in "
+              f"{time.time() - t0:.0f}s — {n_det} detections / {n_gt} gts")
 
-    for c, cname in fg:
-        prefix = f"[{cname}] " if len(fg) > 1 else ""
-        gts, dets = per_cls[c]
-        for metric, thresh in (("2d", 0.7), ("2d", 0.5), ("bev", 0.7),
-                               ("bev", 0.5), ("3d", 0.7), ("3d", 0.5)):
-            r = evaluate(gts, dets, metric=metric, iou_thresh=thresh)
-            print(f"{prefix}AP_{metric}@{thresh} (R40): " + " / ".join(
-                f"{d}={r[d]:.2f}" for d in ("easy", "moderate", "hard")))
+        for c, cname in fg:
+            prefix = dtag + (f"[{cname}] " if len(fg) > 1 else "")
+            gts, dets = per_cls[c]
+            for metric, thresh in (("2d", 0.7), ("2d", 0.5), ("bev", 0.7),
+                                   ("bev", 0.5), ("3d", 0.7), ("3d", 0.5)):
+                r = evaluate(gts, dets, metric=metric, iou_thresh=thresh)
+                print(f"{prefix}AP_{metric}@{thresh} (R40): " + " / ".join(
+                    f"{d}={r[d]:.2f}" for d in ("easy", "moderate", "hard")))
 
 
 if __name__ == "__main__":
