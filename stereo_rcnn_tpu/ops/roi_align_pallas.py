@@ -239,8 +239,32 @@ def _roi_window_meta(level_shapes, win_shapes, rois, strides, ps):
     return meta, geom
 
 
-def _sample_grid(window, wh, ww, c, ps, y1, x1, bin_h, bin_w):
-    """[ps, ps, C] bilinear samples at ((j+.5)*bin) offsets via hat-matmuls."""
+def _hi_lo(w):
+    """Split an f32 weight matrix into two bf16 parts whose sum carries
+    ~2^-17 relative error: hi = bf16(w), lo = bf16(w - f32(hi)).  Two
+    bf16 MXU passes reconstruct near-f32 precision at 2x the bf16 cost."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _sample_grid(window, wh, ww, c, ps, y1, x1, bin_h, bin_w,
+                 hat_dtype=jnp.float32):
+    """[ps, ps, C] bilinear samples at ((j+.5)*bin) offsets via hat-matmuls.
+
+    ``hat_dtype`` selects the weight-matrix precision fed to the MXU:
+      float32  — exact; the production default
+      bfloat16 — ~2^-9 relative weight error
+      'hilo'   — two bf16 passes (see :func:`_hi_lo`), ~2^-17 error
+
+    NEGATIVE RESULT (v5e, tools/bench_roialign.py, 4800 windows/step):
+    f32 18.7 us/roi, bf16 20.3, hilo 41.3 — the hypothesis that the f32
+    hat contraction pays an MXU-rate penalty is FALSE at these shapes;
+    the converts/extra passes only add cost.  The per-roi step is
+    dominated by per-step DMA/issue overhead, not matmul rate, so f32
+    stays the default (exact parity for free).  bf16/hilo are kept,
+    parity-tested, as measurement levers for future window-shape work.
+    """
     grid = (jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)[:, 0]
             .astype(jnp.float32) + 0.5)
     ys = jnp.clip(y1 + grid * bin_h, 0.0, wh - 1.0)
@@ -251,17 +275,43 @@ def _sample_grid(window, wh, ww, c, ps, y1, x1, bin_h, bin_w):
                                       1).astype(jnp.float32)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(iota_h - ys[:, None]))
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w - xs[:, None]))
-    tmp = jnp.dot(wy, window.reshape(wh, ww * c),
-                  preferred_element_type=jnp.float32).reshape(ps, ww, c)
-    out = jax.lax.dot_general(
-        wx, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+
+    def contract_y(wy_):
+        return jnp.dot(wy_, window.reshape(wh, ww * c),
+                       preferred_element_type=jnp.float32)
+
+    if hat_dtype == "hilo":
+        # y pass: the window is ALREADY bf16 (exact operand), so splitting
+        # wy alone reconstructs the f32 product to ~2^-17.
+        wy_hi, wy_lo = _hi_lo(wy)
+        tmp = (contract_y(wy_hi) + contract_y(wy_lo)).reshape(ps, ww, c)
+        # x pass: tmp is f32 — split BOTH operands; the lo x lo term is
+        # ~2^-18 and dropped (3 small matmuls, vs the 2 big y-passes).
+        tmp_hi = tmp.astype(jnp.bfloat16)
+        tmp_lo = (tmp - tmp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        wx_hi, wx_lo = _hi_lo(wx)
+        dn = (((1,), (1,)), ((), ()))
+        out = (jax.lax.dot_general(wx_hi, tmp_hi, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(wx_hi, tmp_lo, dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(wx_lo, tmp_hi, dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32))
+    else:
+        wy = wy.astype(hat_dtype)
+        wx = wx.astype(hat_dtype)
+        tmp = contract_y(wy).reshape(ps, ww, c)
+        if hat_dtype != jnp.float32:
+            tmp = tmp.astype(hat_dtype)
+        out = jax.lax.dot_general(
+            wx, tmp, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
     return jnp.swapaxes(out, 0, 1)                   # [ps(y), ps(x), C]
 
 
 def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
                    num_levels: int, p: int, pk: int, win_shapes, c: int,
-                   n_rois: int):
+                   n_rois: int, hat_dtype=jnp.float32):
     """Double-buffered fused stereo RoIAlign.
 
     Scratch is ONE max-size window per (side, slot); each level's window is
@@ -335,7 +385,8 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
             samples = _sample_grid(
                 window, wh, ww, c, ps,
                 geom_l_ref[i, 0], geom_l_ref[i, 1],
-                geom_l_ref[i, 2], geom_l_ref[i, 3]) * valid_l
+                geom_l_ref[i, 2], geom_l_ref[i, 3],
+                hat_dtype=hat_dtype) * valid_l
             out14l_ref[0] = samples
             out7l_ref[0] = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
 
@@ -345,7 +396,8 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
             samples = _sample_grid(
                 window, wh, ww, c, ps,
                 geom_r_ref[i, 0], geom_r_ref[i, 1],
-                geom_r_ref[i, 2], geom_r_ref[i, 3]) * valid_r
+                geom_r_ref[i, 2], geom_r_ref[i, 3],
+                hat_dtype=hat_dtype) * valid_r
             out7r_ref[0] = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
 
 
@@ -570,7 +622,8 @@ def _auto_interpret(interpret):
 
 def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
                             pooling_size: int = 7, kpt_size: int = 14,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            hat_dtype=jnp.float32):
     """Fused stereo RoIAlign for one image.
 
     feats_*: 4-level pyramids [H_l, W_l, C]; rois_*: [R, 4].
@@ -594,7 +647,7 @@ def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
 
     kernel = functools.partial(
         _stereo_kernel, num_levels=num_levels, p=pooling_size, pk=kpt_size,
-        win_shapes=win_shapes, c=c, n_rois=r)
+        win_shapes=win_shapes, c=c, n_rois=r, hat_dtype=hat_dtype)
 
     p = pooling_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -820,7 +873,7 @@ def stereo_roi_align_batched(feats_l, feats_r, rois_l, rois_r, strides,
     where RoI coordinates are not differentiated either).
     """
     interpret = _auto_interpret(interpret)
-    fn = functools.partial(stereo_roi_align_pallas_atlas, strides=strides,
+    fn = functools.partial(stereo_roi_align_pallas, strides=strides,
                            pooling_size=pooling_size, kpt_size=kpt_size,
                            interpret=interpret)
     return jax.vmap(lambda fl, fr, rl, rr: fn(list(fl), list(fr), rl, rr))(

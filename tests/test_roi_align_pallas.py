@@ -114,3 +114,31 @@ def test_atlas_stereo_kernel_matches_per_level_kernel(pyramid):
                                    atol=1e-5, rtol=1e-5)
     # The padded zero-area roi produced exactly zero output.
     assert float(jnp.abs(out[0][-1]).max()) == 0.0
+
+
+def test_fused_stereo_kernel_hilo_parity(pyramid):
+    """hat_dtype='hilo' (two-pass bf16 hat matmuls, ~2^-17 relative error
+    — see _sample_grid) must hold the SAME parity tolerance vs the XLA
+    reference as the f32 path; bf16 single-pass is the one that may not."""
+    feats, strides, h, w = pyramid
+    r = np.random.RandomState(5)
+    rois_l, rois_r = [], []
+    for size in (40, 90, 180):
+        for _ in range(3):
+            x1 = r.uniform(30, w - size - 30) if w - size - 60 > 0 else 30
+            y1 = r.uniform(8, max(h - size // 2 - 8, 9))
+            box = [x1, y1, x1 + size, min(y1 + size / 2, h - 4.0)]
+            rois_l.append(box)
+            rois_r.append([box[0] - 10, box[1], box[2] - 10, box[3]])
+    rois_l = jnp.asarray(np.asarray(rois_l, np.float32))
+    rois_r = jnp.asarray(np.asarray(rois_r, np.float32))
+
+    from stereo_rcnn_tpu.ops.roi_align_pallas import stereo_roi_align_pallas
+    out = stereo_roi_align_pallas(feats, feats, rois_l, rois_r, strides,
+                                  7, 14, interpret=True, hat_dtype="hilo")
+    refs = (multilevel_roi_align(feats, rois_l, strides, 7, 2),
+            multilevel_roi_align(feats, rois_r, strides, 7, 2),
+            multilevel_roi_align(feats, rois_l, strides, 14, 1))
+    for o, rf in zip(out, refs):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(rf),
+                                   atol=2e-3, rtol=1e-3)

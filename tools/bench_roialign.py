@@ -88,12 +88,24 @@ def main():
             return p7l, p7r, p14
         return jax.vmap(one)(tuple(fl), rl, rr)
 
+    def run_hat(hat_dtype):
+        def f(fl, rl, rr):
+            return jax.vmap(lambda f_, a, b: stereo_roi_align_pallas(
+                list(f_), list(f_), a, b, strides, 7, 14,
+                interpret=False, hat_dtype=hat_dtype))(tuple(fl), rl, rr)
+        return f
+
     print(f"batch={args.batch} rois={args.rois} "
           f"({n_total} windows/step), C={c}, bf16 pyramid of {im_h}x{im_w}")
     timeit("pallas per-level branches", run_kernel(stereo_roi_align_pallas))
     timeit("pallas atlas branchless",
            run_kernel(stereo_roi_align_pallas_atlas))
     timeit("xla atlas gather", run_xla)
+    # Hat-weight MXU precision sweep (see _sample_grid docstring).
+    # MEASURED (v5e): f32 18.7 / bf16 20.3 / hilo 41.3 us/roi — matmul
+    # rate is NOT the per-step cost; f32 stays the production default.
+    timeit("pallas hat=bf16", run_hat(jnp.bfloat16))
+    timeit("pallas hat=hilo", run_hat("hilo"))
 
 
 if __name__ == "__main__":
