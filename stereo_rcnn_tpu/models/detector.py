@@ -35,7 +35,8 @@ from stereo_rcnn_tpu.models.stereo_rpn import (Proposals, StereoRPNHead,
                                                select_proposals)
 from stereo_rcnn_tpu.ops.nms import nms_indices
 from stereo_rcnn_tpu.ops.roi_align import multilevel_roi_align
-from stereo_rcnn_tpu.ops.roi_align_pallas import stereo_roi_align_batched
+from stereo_rcnn_tpu.ops.roi_align_pallas import (
+    stereo_roi_align_batched_packed)
 
 
 class StereoRCNN(nn.Module):
@@ -84,7 +85,10 @@ class StereoRCNN(nn.Module):
         ``init`` creates its parameters (the inference fast path defers
         keypoints until after NMS and doesn't touch them here)."""
         raw = forward_raw(self, images_left, images_right, train=False)
-        self.kpt_head(raw["kpt_feats"][0, :1])
+        pk = self.cfg.rcnn.kpt_pool_size
+        c = raw["kpt_feats"].shape[-1]
+        self.kpt_head(raw["kpt_feats"][0, :1, :pk * pk].reshape(
+            1, pk, pk, c))
         return raw
 
 
@@ -120,11 +124,13 @@ def forward_raw(model: StereoRCNN, images_left: jnp.ndarray,
     # The keypoint CONVS are deferred to after NMS (run_keypoints): at
     # ~0.9 GFLOP per RoI they were ~30% of inference time when applied to
     # all test_post_nms_top_n proposals, yet only the ~max_detections
-    # survivors are ever decoded.  The pooled 14x14 features themselves
-    # are kept — the fused Pallas kernel produces them from the same
-    # sampling pass as the 7x7 pools, so they are nearly free.
+    # survivors are ever decoded.  The pooled 14x14 features travel as
+    # PACKED ROWS [B, N, rows, C] (rows >= pk*pk; the first pk*pk rows
+    # are the kpt samples): run_keypoints gathers its D<<N survivors
+    # BEFORE slicing, so the full-size [B*N] kpt block is never
+    # re-materialized outside the RoIAlign kernel's own output.
     n = props.left.shape[1]
-    pk = pooled["left_kpt"].shape[1]
+    rows = pooled["left_kpt_rows"].shape[1]
     return {
         "rpn_logits": logits,
         "rpn_deltas": deltas,
@@ -132,8 +138,8 @@ def forward_raw(model: StereoRCNN, images_left: jnp.ndarray,
         "proposals": props,
         "rcnn": jax.tree.map(lambda x: x.reshape(b, n, *x.shape[1:]),
                              outputs),
-        "kpt_feats": pooled["left_kpt"].reshape(
-            b, n, pk, pk, pooled["left_kpt"].shape[-1]),
+        "kpt_feats": pooled["left_kpt_rows"].reshape(
+            b, n, rows, pooled["left_kpt_rows"].shape[-1]),
     }
 
 
@@ -142,7 +148,12 @@ def roi_features(model: StereoRCNN, feats_l, feats_r, rois_left, rois_right):
 
     rois_*: [B, N, 4].  Returns dict with
       concat: [B*N, P, P, 2C]  (left||right, for the FC trunk)
-      left_kpt: [B*N, Pk, Pk, C] (left-only, for the keypoint branch)
+      left_kpt: [B*N, Pk, Pk, C] (left-only, for the keypoint branch —
+        a slice of left_kpt_rows; consumed by training, DCE'd by the
+        inference path which slices after the survivor gather instead)
+      left_kpt_rows: [B*N, rows, C] with rows >= Pk*Pk; the first Pk*Pk
+        rows are the kpt samples (for the Pallas path this is the
+        kernel's raw packed output, rows = Pk*Pk + 2*P*P)
     """
     cfg = model.cfg
     strides = cfg.anchors.strides[:4]                 # rois use P2..P5 only
@@ -150,31 +161,44 @@ def roi_features(model: StereoRCNN, feats_l, feats_r, rois_left, rois_right):
     pk = cfg.rcnn.kpt_pool_size
     sr = cfg.rcnn.sampling_ratio
 
+    b, n = rois_left.shape[:2]
     if cfg.rcnn.roi_align_impl == "pallas":
         # Fused stereo kernel: left 7x7 + right 7x7 + left 14x14 in one
         # grid pass (the 7x7/sr2 and 14x14/sr1 sample positions coincide,
         # so one sampling pass serves both left outputs).  Differentiable:
         # custom_vjp backward is a Pallas hat-matrix-transpose kernel, so
         # training uses this path too (interpret mode auto-enables off-TPU).
-        pl_, pr_, pk_l = stereo_roi_align_batched(
+        # The kernel emits ONE packed block per roi; consumers slice it
+        # lazily (see stereo_roi_align_batched_packed docstring).
+        packed = stereo_roi_align_batched_packed(
             tuple(feats_l[:4]), tuple(feats_r[:4]), rois_left, rois_right,
-            tuple(strides), p, pk, None)
-    else:
-        def align(feats, rois, size, sampling):
-            return multilevel_roi_align(list(feats[:4]), rois, strides,
-                                        size, sampling)
+            tuple(strides), p, pk, None)              # [B, N, rows, C]
+        c = packed.shape[-1]
+        kk, pp = pk * pk, p * p
+        flat = packed.reshape(b * n, kk + 2 * pp, c)
+        pl_ = flat[:, kk:kk + pp].reshape(b * n, p, p, c)
+        pr_ = flat[:, kk + pp:].reshape(b * n, p, p, c)
+        return {
+            "concat": jnp.concatenate([pl_, pr_], axis=-1),
+            "left_kpt": flat[:, :kk].reshape(b * n, pk, pk, c),
+            "left_kpt_rows": flat,
+        }
 
-        pl_ = align(feats_l, rois_left, p, sr)
-        pr_ = align(feats_r, rois_right, p, sr)
-        # Keypoint pool: 14x14 output already oversamples the bins — use
-        # sampling_ratio 1 (same positions as the 7x7/sr-2 pools).
-        pk_l = align(feats_l, rois_left, pk, 1)
-    b, n = rois_left.shape[:2]
+    def align(feats, rois, size, sampling):
+        return multilevel_roi_align(list(feats[:4]), rois, strides,
+                                    size, sampling)
+
+    pl_ = align(feats_l, rois_left, p, sr)
+    pr_ = align(feats_r, rois_right, p, sr)
+    # Keypoint pool: 14x14 output already oversamples the bins — use
+    # sampling_ratio 1 (same positions as the 7x7/sr-2 pools).
+    pk_l = align(feats_l, rois_left, pk, 1)
     c = pl_.shape[-1]
     return {
         "concat": jnp.concatenate([pl_, pr_], axis=-1)
                     .reshape(b * n, p, p, 2 * c),
         "left_kpt": pk_l.reshape(b * n, pk, pk, c),
+        "left_kpt_rows": pk_l.reshape(b * n, pk * pk, c),
     }
 
 
@@ -326,12 +350,15 @@ def run_keypoints(model: StereoRCNN, params, raw: dict, det: Detections,
     The branch costs ~0.9 GFLOP per RoI; gathering the already-pooled
     14x14 features for the D<<N surviving proposals before the convs cuts
     the branch's work ~10x with bit-identical results (same features,
-    same weights, fewer rows).
+    same weights, fewer rows).  ``raw["kpt_feats"]`` is [B, N, rows, C]
+    packed rows (first pk*pk rows = the kpt samples); slicing AFTER the
+    gather keeps the full-size block un-rematerialized.
     """
-    kf = jax.vmap(lambda f, i: f[i])(raw["kpt_feats"], idx)  # [B,D,pk,pk,C]
+    kf = jax.vmap(lambda f, i: f[i])(raw["kpt_feats"], idx)  # [B,D,rows,C]
     b, d = kf.shape[:2]
-    kl = model.apply(params, kf.reshape(b * d, *kf.shape[2:]),
-                     method=lambda m, x: m.keypoints(x))
+    pk = model.cfg.rcnn.kpt_pool_size
+    kf = kf[:, :, :pk * pk].reshape(b * d, pk, pk, kf.shape[-1])
+    kl = model.apply(params, kf, method=lambda m, x: m.keypoints(x))
     kl = kl.reshape(b, d, *kl.shape[1:])                     # [B, D, 6, G]
     dec = functools.partial(decode_keypoints,
                             kpt_softmax=model.cfg.rcnn.kpt_softmax)

@@ -253,18 +253,48 @@ def _sample_grid(window, wh, ww, c, ps, y1, x1, bin_h, bin_w,
     """[ps, ps, C] bilinear samples at ((j+.5)*bin) offsets via hat-matmuls.
 
     ``hat_dtype`` selects the weight-matrix precision fed to the MXU:
-      float32  — exact; the production default
-      bfloat16 — ~2^-9 relative weight error
-      'hilo'   — two bf16 passes (see :func:`_hi_lo`), ~2^-17 error
+      float32     — exact; two separate y/x hat matmuls
+      bfloat16    — same structure, ~2^-9 relative weight error
+      'hilo'      — two bf16 passes (see :func:`_hi_lo`), ~2^-17 error
+      'kron_bf16' — ONE matmul with the combined kron weight
+                    [ps*ps, wh*ww] (y-hat x x-hat), bf16
+      'kron_hilo' — same, two bf16 hi/lo passes (~2^-17 error)
 
-    NEGATIVE RESULT (v5e, tools/bench_roialign.py, 4800 windows/step):
-    f32 18.7 us/roi, bf16 20.3, hilo 41.3 — the hypothesis that the f32
-    hat contraction pays an MXU-rate penalty is FALSE at these shapes;
-    the converts/extra passes only add cost.  The per-roi step is
-    dominated by per-step DMA/issue overhead, not matmul rate, so f32
-    stays the default (exact parity for free).  bf16/hilo are kept,
-    parity-tested, as measurement levers for future window-shape work.
+    Why kron: the two-matmul form needs a batched x-contraction plus a
+    final swapaxes — VPU relayouts of ~1 MB per roi.  Ablation (see
+    tools/bench_roialign.py) showed compute, not DMA or MXU rate,
+    dominates the 18.7 us/roi step (compute-only 18.1, dma-only 12.5,
+    bf16 hats no faster), so the kron form spends 11x more FLOPs
+    (308 vs 28 MFLOP/side) to buy ZERO relayouts: the weight build is
+    elementwise on the natural [ps*ps, wh*ww] layout, the window reshape
+    [wh, ww, C] -> [wh*ww, C] merges leading dims (free), and the matmul
+    output [ps*ps, C] IS the y-major result.
     """
+    if isinstance(hat_dtype, str) and hat_dtype.startswith("kron"):
+        # Sample positions vary only along rows (r = y*ps + x), cell
+        # indices only along columns (q = h*ww + w): build both as thin
+        # [R, 1] / [1, Q] arrays so the expensive int div/mod runs on
+        # ~3K elements, and only the final hat compare+multiply touches
+        # the full [ps*ps, wh*ww] tile.
+        r_col = jax.lax.broadcasted_iota(jnp.int32, (ps * ps, 1), 0)
+        y_pos = (r_col // ps).astype(jnp.float32) + 0.5
+        x_pos = (r_col % ps).astype(jnp.float32) + 0.5
+        ys = jnp.clip(y1 + y_pos * bin_h, 0.0, wh - 1.0)      # [ps*ps, 1]
+        xs = jnp.clip(x1 + x_pos * bin_w, 0.0, ww - 1.0)
+        q_row = jax.lax.broadcasted_iota(jnp.int32, (1, wh * ww), 1)
+        h_idx = (q_row // ww).astype(jnp.float32)             # [1, wh*ww]
+        w_idx = (q_row % ww).astype(jnp.float32)
+        wgt = (jnp.maximum(0.0, 1.0 - jnp.abs(h_idx - ys))
+               * jnp.maximum(0.0, 1.0 - jnp.abs(w_idx - xs)))
+        win2 = window.reshape(wh * ww, c)
+        if hat_dtype == "kron_bf16":
+            out = jnp.dot(wgt.astype(jnp.bfloat16), win2,
+                          preferred_element_type=jnp.float32)
+        else:
+            hi, lo = _hi_lo(wgt)
+            out = (jnp.dot(hi, win2, preferred_element_type=jnp.float32)
+                   + jnp.dot(lo, win2, preferred_element_type=jnp.float32))
+        return out.reshape(ps, ps, c)                # already y-major
     grid = (jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)[:, 0]
             .astype(jnp.float32) + 0.5)
     ys = jnp.clip(y1 + grid * bin_h, 0.0, wh - 1.0)
@@ -311,7 +341,8 @@ def _sample_grid(window, wh, ww, c, ps, y1, x1, bin_h, bin_w,
 
 def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
                    num_levels: int, p: int, pk: int, win_shapes, c: int,
-                   n_rois: int, hat_dtype=jnp.float32):
+                   n_rois: int, hat_dtype=jnp.float32,
+                   bench_skip: str | None = None, packed_out: bool = False):
     """Double-buffered fused stereo RoIAlign.
 
     Scratch is ONE max-size window per (side, slot); each level's window is
@@ -319,11 +350,29 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
     being sampled, roi i+1's two windows are already in flight (ping-pong
     slots) — the per-step cost becomes max(DMA, compute) instead of their
     sum.
+
+    ``bench_skip`` (BENCH-ONLY, never set in production) ablates one half
+    of the step so tools/bench_roialign.py can attribute the per-roi cost:
+      'dma'     — skip all window DMAs; sample whatever is in scratch
+                  (garbage values, correct shapes/timing of the compute)
+      'compute' — run the DMAs but write constant outputs
     """
     feat_l = refs[:num_levels]
     feat_r = refs[num_levels:2 * num_levels]
-    out14l_ref, out7l_ref, out7r_ref = refs[2 * num_levels:2 * num_levels + 3]
-    scratch_l, scratch_r = refs[2 * num_levels + 3:2 * num_levels + 5]
+    if packed_out:
+        # ONE output block [1, pk*pk + 2*p*p, C] per roi: rows [0, pk*pk)
+        # = kpt samples, then 7x7 L, then 7x7 R.  Measured motivation: the
+        # per-step floor (write-zeros kernel, no DMA/compute) is 12.5
+        # us/roi with THREE out blocks — the grid machinery's per-block
+        # output copies dominate the whole stage, so pack them into one.
+        packed_ref = refs[2 * num_levels]
+        n_out = 1
+    else:
+        out14l_ref, out7l_ref, out7r_ref = \
+            refs[2 * num_levels:2 * num_levels + 3]
+        n_out = 3
+    scratch_l, scratch_r = refs[2 * num_levels + n_out:
+                                2 * num_levels + n_out + 2]
     sem_l, sem_r = refs[-2], refs[-1]
 
     i = pl.program_id(0)
@@ -363,15 +412,25 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
     slot = jax.lax.rem(i, 2)
     nxt = jax.lax.rem(i + 1, 2)
 
-    @pl.when(i == 0)
-    def _():
-        start_both(0, 0)
+    if bench_skip not in ("dma", "all"):
+        @pl.when(i == 0)
+        def _():
+            start_both(0, 0)
 
-    @pl.when(i + 1 < n_rois)
-    def _():
-        start_both(i + 1, nxt)
+        @pl.when(i + 1 < n_rois)
+        def _():
+            start_both(i + 1, nxt)
 
-    wait_both(i, slot)
+        wait_both(i, slot)
+
+    if bench_skip in ("compute", "all"):
+        if packed_out:
+            packed_ref[0] = jnp.zeros((ps * ps + 2 * p * p, c), jnp.float32)
+        else:
+            out14l_ref[0] = jnp.zeros((ps, ps, c), jnp.float32)
+            out7l_ref[0] = jnp.zeros((p, p, c), jnp.float32)
+            out7r_ref[0] = jnp.zeros((p, p, c), jnp.float32)
+        return
 
     valid_l = (meta_l_ref[i, 3] > 0).astype(jnp.float32)
     valid_r = (meta_r_ref[i, 3] > 0).astype(jnp.float32)
@@ -387,8 +446,15 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
                 geom_l_ref[i, 0], geom_l_ref[i, 1],
                 geom_l_ref[i, 2], geom_l_ref[i, 3],
                 hat_dtype=hat_dtype) * valid_l
-            out14l_ref[0] = samples
-            out7l_ref[0] = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
+            pooled = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
+            if packed_out:
+                packed_ref[0, pl.ds(0, ps * ps)] = samples.reshape(
+                    ps * ps, c)
+                packed_ref[0, pl.ds(ps * ps, p * p)] = pooled.reshape(
+                    p * p, c)
+            else:
+                out14l_ref[0] = samples
+                out7l_ref[0] = pooled
 
         @pl.when(meta_r_ref[i, 0] == lvl)
         def _():
@@ -398,7 +464,12 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
                 geom_r_ref[i, 0], geom_r_ref[i, 1],
                 geom_r_ref[i, 2], geom_r_ref[i, 3],
                 hat_dtype=hat_dtype) * valid_r
-            out7r_ref[0] = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
+            pooled = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
+            if packed_out:
+                packed_ref[0, pl.ds(ps * ps + p * p, p * p)] = \
+                    pooled.reshape(p * p, c)
+            else:
+                out7r_ref[0] = pooled
 
 
 # Tighter per-level window bounds than the generic kernel: a roi assigned
@@ -623,7 +694,9 @@ def _auto_interpret(interpret):
 def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
                             pooling_size: int = 7, kpt_size: int = 14,
                             interpret: bool = False,
-                            hat_dtype=jnp.float32):
+                            hat_dtype=jnp.float32,
+                            bench_skip: str | None = None,
+                            packed_out: bool = False):
     """Fused stereo RoIAlign for one image.
 
     feats_*: 4-level pyramids [H_l, W_l, C]; rois_*: [R, 4].
@@ -647,15 +720,17 @@ def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
 
     kernel = functools.partial(
         _stereo_kernel, num_levels=num_levels, p=pooling_size, pk=kpt_size,
-        win_shapes=win_shapes, c=c, n_rois=r, hat_dtype=hat_dtype)
+        win_shapes=win_shapes, c=c, n_rois=r, hat_dtype=hat_dtype,
+        bench_skip=bench_skip, packed_out=packed_out)
 
     p = pooling_size
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(r,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)
-                  for _ in range(2 * num_levels)],
-        out_specs=(
+    if packed_out:
+        rows = kpt_size * kpt_size + 2 * p * p
+        out_specs = pl.BlockSpec((1, rows, c), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((r, rows, c), jnp.float32)
+    else:
+        out_specs = (
             pl.BlockSpec((1, kpt_size, kpt_size, c),
                          lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -663,23 +738,39 @@ def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((r, kpt_size, kpt_size, c), jnp.float32),
+            jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
+            jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(r,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)
+                  for _ in range(2 * num_levels)],
+        out_specs=out_specs,
         scratch_shapes=(
             [pltpu.VMEM((2, max(h for h, _ in win_shapes),
                          max(w for _, w in win_shapes), c),
                         feats_l[0].dtype)] * 2 +
             [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]),
     )
-    out14l, out7l, out7r = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((r, kpt_size, kpt_size, c), jnp.float32),
-            jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
-            jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
-        ),
+        out_shape=out_shape,
         interpret=interpret,
     )(meta_l, geom_l, meta_r, geom_r, *feats_l, *feats_r)
+    if packed_out == "raw":
+        return out                                   # [R, rows, C]
+    if packed_out:
+        pp, kk = p * p, kpt_size * kpt_size
+        out14l = out[:, :kk].reshape(r, kpt_size, kpt_size, c)
+        out7l = out[:, kk:kk + pp].reshape(r, p, p, c)
+        out7r = out[:, kk + pp:].reshape(r, p, p, c)
+    else:
+        out14l, out7l, out7r = out
     return out7l, out7r, out14l
 
 
@@ -873,9 +964,14 @@ def stereo_roi_align_batched(feats_l, feats_r, rois_l, rois_r, strides,
     where RoI coordinates are not differentiated either).
     """
     interpret = _auto_interpret(interpret)
+    # packed_out merges the three per-roi output blocks into one: measured
+    # 18.7 -> 9.3 us/roi on the v5e (the per-step output-copy machinery,
+    # not DMA or compute, dominated the grid step — see the step-floor
+    # ablation rows in tools/bench_roialign.py).  Math is unchanged (f32
+    # hat matmuls); outputs are bit-identical to the unpacked kernel.
     fn = functools.partial(stereo_roi_align_pallas, strides=strides,
                            pooling_size=pooling_size, kpt_size=kpt_size,
-                           interpret=interpret)
+                           interpret=interpret, packed_out=True)
     return jax.vmap(lambda fl, fr, rl, rr: fn(list(fl), list(fr), rl, rr))(
         tuple(feats_l), tuple(feats_r), rois_l, rois_r)
 
@@ -900,3 +996,57 @@ def _batched_bwd(strides, pooling_size, kpt_size, interpret, res, g):
 
 
 stereo_roi_align_batched.defvjp(_batched_fwd, _batched_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def stereo_roi_align_batched_packed(feats_l, feats_r, rois_l, rois_r,
+                                    strides, pooling_size: int = 7,
+                                    kpt_size: int = 14,
+                                    interpret: bool | None = None):
+    """Like :func:`stereo_roi_align_batched` but returns the RAW packed
+    per-roi block [B, R, pk*pk + 2*p*p, C] (row layout: kpt samples, then
+    7x7 left, then 7x7 right).
+
+    Returning the packed array lets INFERENCE consumers slice lazily:
+    the head input concat reads the two 7x7 sections fused, and the
+    keypoint branch gathers its D<<R NMS survivors BEFORE slicing the
+    kpt section.  Splitting eagerly (the 3-tuple API) re-materializes
+    ~1.8 GB/batch-16 of full-size slices that XLA cannot fuse away —
+    measured to cost MORE than the packed kernel saves (bench.py 114.5
+    -> 108.1 pairs/s with eager splits vs the unpacked kernel).
+    """
+    interpret = _auto_interpret(interpret)
+    fn = functools.partial(stereo_roi_align_pallas, strides=strides,
+                           pooling_size=pooling_size, kpt_size=kpt_size,
+                           interpret=interpret, packed_out="raw")
+    return jax.vmap(lambda fl, fr, rl, rr: fn(list(fl), list(fr), rl, rr))(
+        tuple(feats_l), tuple(feats_r), rois_l, rois_r)
+
+
+def _batched_packed_fwd(feats_l, feats_r, rois_l, rois_r, strides,
+                        pooling_size, kpt_size, interpret):
+    out = stereo_roi_align_batched_packed(feats_l, feats_r, rois_l, rois_r,
+                                          strides, pooling_size, kpt_size,
+                                          interpret)
+    return out, (tuple(feats_l), tuple(feats_r), rois_l, rois_r)
+
+
+def _batched_packed_bwd(strides, pooling_size, kpt_size, interpret, res, g):
+    feats_l, feats_r, rois_l, rois_r = res
+    p, pk = pooling_size, kpt_size
+    kk, pp = pk * pk, p * p
+    b, r = rois_l.shape[:2]
+    c = g.shape[-1]
+    d14l = g[:, :, :kk].reshape(b, r, pk, pk, c)
+    d7l = g[:, :, kk:kk + pp].reshape(b, r, p, p, c)
+    d7r = g[:, :, kk + pp:].reshape(b, r, p, p, c)
+    dl, dr = _stereo_roi_align_bwd_impl(
+        feats_l, feats_r, rois_l, rois_r, strides, pooling_size, kpt_size,
+        _auto_interpret(interpret), d7l, d7r, d14l)
+    dl = tuple(d.astype(f.dtype) for d, f in zip(dl, feats_l))
+    dr = tuple(d.astype(f.dtype) for d, f in zip(dr, feats_r))
+    return (dl, dr, jnp.zeros_like(rois_l), jnp.zeros_like(rois_r))
+
+
+stereo_roi_align_batched_packed.defvjp(_batched_packed_fwd,
+                                       _batched_packed_bwd)

@@ -34,9 +34,11 @@ def test_deferred_keypoints_match_full_pass():
         deferred = run_keypoints(model, params, raw, det, idx, rois)
 
         # Old semantics: keypoint convs over ALL N proposals, gather at idx.
+        # kpt_feats is [B, N, rows, C] packed rows; first pk*pk = samples.
         b, n = raw["kpt_feats"].shape[:2]
-        kf_all = raw["kpt_feats"].reshape(b * n,
-                                          *raw["kpt_feats"].shape[2:])
+        pkps = cfg.rcnn.kpt_pool_size
+        kf_all = raw["kpt_feats"][:, :, :pkps * pkps].reshape(
+            b * n, pkps, pkps, raw["kpt_feats"].shape[-1])
         kl_all = model.apply(params, kf_all,
                              method=lambda m, x: m.keypoints(x))
         kl_all = kl_all.reshape(b, n, *kl_all.shape[1:])

@@ -116,6 +116,35 @@ def test_atlas_stereo_kernel_matches_per_level_kernel(pyramid):
     assert float(jnp.abs(out[0][-1]).max()) == 0.0
 
 
+def test_fused_stereo_kernel_packed_parity(pyramid):
+    """packed_out=True (single merged output block, the production path)
+    must be BIT-identical to the unpacked kernel — same f32 sampling, only
+    the output copy layout differs."""
+    feats, strides, h, w = pyramid
+    r = np.random.RandomState(7)
+    rois_l, rois_r = [], []
+    for size in (30, 70, 150, 300):
+        for _ in range(2):
+            x1 = r.uniform(20, max(w - size - 20, 21))
+            y1 = r.uniform(8, max(h - size // 2 - 8, 9))
+            box = [x1, y1, min(x1 + size, w - 2.0),
+                   min(y1 + size / 2, h - 4.0)]
+            rois_l.append(box)
+            rois_r.append([box[0] - 12, box[1], box[2] - 12, box[3]])
+    rois_l.append([0.0, 0.0, 0.0, 0.0])            # padded zero-area roi
+    rois_r.append([0.0, 0.0, 0.0, 0.0])
+    rois_l = jnp.asarray(np.asarray(rois_l, np.float32))
+    rois_r = jnp.asarray(np.asarray(rois_r, np.float32))
+
+    from stereo_rcnn_tpu.ops.roi_align_pallas import stereo_roi_align_pallas
+    base = stereo_roi_align_pallas(feats, feats, rois_l, rois_r, strides,
+                                   7, 14, interpret=True)
+    packed = stereo_roi_align_pallas(feats, feats, rois_l, rois_r, strides,
+                                     7, 14, interpret=True, packed_out=True)
+    for b, pk in zip(base, packed):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(pk))
+
+
 def test_fused_stereo_kernel_hilo_parity(pyramid):
     """hat_dtype='hilo' (two-pass bf16 hat matmuls, ~2^-17 relative error
     — see _sample_grid) must hold the SAME parity tolerance vs the XLA

@@ -84,6 +84,55 @@ def test_gradient_matches_xla(batched_pyramid):
             err_msg=f"level {lvl}")
 
 
+def test_packed_batched_matches_tuple_api(batched_pyramid):
+    """stereo_roi_align_batched_packed (the detector's path): its packed
+    rows must be bit-identical slices of the 3-tuple API's outputs, and
+    its custom-vjp gradient must match the 3-tuple API's gradient."""
+    from stereo_rcnn_tpu.ops.roi_align_pallas import (
+        stereo_roi_align_batched_packed)
+    feats, rois_l, rois_r, strides = batched_pyramid
+    b, n = rois_l.shape[:2]
+    c = feats[0].shape[-1]
+
+    packed = stereo_roi_align_batched_packed(
+        tuple(feats), tuple(feats), rois_l, rois_r, strides, 7, 14, True)
+    o7l, o7r, o14 = stereo_roi_align_batched(
+        tuple(feats), tuple(feats), rois_l, rois_r, strides, 7, 14, True)
+    kk, pp = 196, 49
+    np.testing.assert_array_equal(
+        np.asarray(packed[:, :, :kk].reshape(b, n, 14, 14, c)),
+        np.asarray(o14))
+    np.testing.assert_array_equal(
+        np.asarray(packed[:, :, kk:kk + pp].reshape(b, n, 7, 7, c)),
+        np.asarray(o7l))
+    np.testing.assert_array_equal(
+        np.asarray(packed[:, :, kk + pp:].reshape(b, n, 7, 7, c)),
+        np.asarray(o7r))
+
+    r = np.random.RandomState(4)
+    wp = jnp.asarray(r.randn(b, n, kk + 2 * pp, c).astype(np.float32))
+
+    def loss_packed(fl):
+        out = stereo_roi_align_batched_packed(
+            tuple(fl), tuple(fl), rois_l, rois_r, strides, 7, 14, True)
+        return (out * wp).sum()
+
+    def loss_tuple(fl):
+        o7l_, o7r_, o14_ = stereo_roi_align_batched(
+            tuple(fl), tuple(fl), rois_l, rois_r, strides, 7, 14, True)
+        w14 = wp[:, :, :kk].reshape(b, n, 14, 14, c)
+        w7l = wp[:, :, kk:kk + pp].reshape(b, n, 7, 7, c)
+        w7r = wp[:, :, kk + pp:].reshape(b, n, 7, 7, c)
+        return (o14_ * w14).sum() + (o7l_ * w7l).sum() + (o7r_ * w7r).sum()
+
+    g_packed = jax.grad(lambda fl: loss_packed(fl))(list(feats))
+    g_tuple = jax.grad(lambda fl: loss_tuple(fl))(list(feats))
+    for gp, gt, lvl in zip(g_packed, g_tuple, range(4)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gt),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"level {lvl}")
+
+
 def test_gradient_zero_for_invalid_rois(batched_pyramid):
     feats, rois_l, rois_r, strides = batched_pyramid
     # Degenerate (zero-area) rois are masked by the valid bit: outputs and

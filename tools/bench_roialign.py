@@ -107,6 +107,36 @@ def main():
     timeit("pallas hat=bf16", run_hat(jnp.bfloat16))
     timeit("pallas hat=hilo", run_hat("hilo"))
 
+    # Cost attribution: ablate one half of the double-buffered step
+    # (bench_skip is bench-only, see _stereo_kernel docstring).  With
+    # perfect overlap the full step should be ~max(dma, compute) + eps.
+    def run_skip(skip):
+        def f(fl, rl, rr):
+            return jax.vmap(lambda f_, a, b: stereo_roi_align_pallas(
+                list(f_), list(f_), a, b, strides, 7, 14,
+                interpret=False, bench_skip=skip))(tuple(fl), rl, rr)
+        return f
+    timeit("pallas dma-only", run_skip("compute"))
+    timeit("pallas compute-only", run_skip("dma"))
+    timeit("pallas step-floor", run_skip("all"))
+
+    # Packed single-output-block variants: the step floor above is all
+    # output-copy machinery (3 blocks/step), so merge them into one.
+    def run_packed(hat_dtype=jnp.float32, skip=None):
+        def f(fl, rl, rr):
+            return jax.vmap(lambda f_, a, b: stereo_roi_align_pallas(
+                list(f_), list(f_), a, b, strides, 7, 14,
+                interpret=False, hat_dtype=hat_dtype, bench_skip=skip,
+                packed_out=True))(tuple(fl), rl, rr)
+        return f
+    timeit("pallas packed f32", run_packed())
+    timeit("pallas packed step-floor", run_packed(skip="all"))
+    timeit("pallas packed kron_bf16", run_packed("kron_bf16"))
+    timeit("pallas packed kron_hilo", run_packed("kron_hilo"))
+    # Relayout-free single-matmul sampling (see _sample_grid 'Why kron').
+    timeit("pallas hat=kron_bf16", run_hat("kron_bf16"))
+    timeit("pallas hat=kron_hilo", run_hat("kron_hilo"))
+
 
 if __name__ == "__main__":
     main()
