@@ -342,14 +342,26 @@ def _sample_grid(window, wh, ww, c, ps, y1, x1, bin_h, bin_w,
 def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
                    num_levels: int, p: int, pk: int, win_shapes, c: int,
                    n_rois: int, hat_dtype=jnp.float32,
-                   bench_skip: str | None = None, packed_out: bool = False):
-    """Double-buffered fused stereo RoIAlign.
+                   bench_skip: str | None = None, packed_out: bool = False,
+                   group: int = 1):
+    """Double-buffered fused stereo RoIAlign, ``group`` rois per grid step.
 
-    Scratch is ONE max-size window per (side, slot); each level's window is
-    DMA'd into its prefix so all levels share the buffer.  While roi i is
-    being sampled, roi i+1's two windows are already in flight (ping-pong
-    slots) — the per-step cost becomes max(DMA, compute) instead of their
-    sum.
+    Scratch is ONE max-size window per (side, slot, group member); each
+    level's window is DMA'd into its prefix so all levels share the
+    buffer.  While step i's rois are being sampled, step i+1's windows
+    are already in flight (ping-pong slots) — the per-step cost becomes
+    max(DMA, compute) instead of their sum.  ``group`` > 1 amortizes the
+    per-step machinery (output-block copy latency, grid sequencing) over
+    several rois and keeps 2*group window DMAs in flight per side;
+    requires ``packed_out`` (per-roi output blocks can't be grouped).
+
+    MEASURED (v5e, tools/bench_roialign.py): group=2 is a NEGATIVE
+    result — 16.4 us/roi vs 9.4 at group=1, despite a lower step floor
+    (2.8 vs 3.5): the doubled window scratch (12.6 MB) pressures VMEM
+    enough to wreck the rest of the pipeline stage, and group=4 does
+    not compile at all.  group=1 is production; the parameter stays,
+    bit-identical-tested, as the measurement lever that closed this
+    line of inquiry.
 
     ``bench_skip`` (BENCH-ONLY, never set in production) ablates one half
     of the step so tools/bench_roialign.py can attribute the per-roi cost:
@@ -357,14 +369,16 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
                   (garbage values, correct shapes/timing of the compute)
       'compute' — run the DMAs but write constant outputs
     """
+    assert group == 1 or packed_out, "group > 1 requires packed_out"
     feat_l = refs[:num_levels]
     feat_r = refs[num_levels:2 * num_levels]
     if packed_out:
-        # ONE output block [1, pk*pk + 2*p*p, C] per roi: rows [0, pk*pk)
-        # = kpt samples, then 7x7 L, then 7x7 R.  Measured motivation: the
-        # per-step floor (write-zeros kernel, no DMA/compute) is 12.5
-        # us/roi with THREE out blocks — the grid machinery's per-block
-        # output copies dominate the whole stage, so pack them into one.
+        # ONE output block [group, pk*pk + 2*p*p, C] per step: per roi,
+        # rows [0, pk*pk) = kpt samples, then 7x7 L, then 7x7 R.
+        # Measured motivation: the per-step floor (write-zeros kernel, no
+        # DMA/compute) is 12.5 us/roi with THREE out blocks — the grid
+        # machinery's per-block output copies dominate the whole stage,
+        # so pack them into one (and group rois to amortize further).
         packed_ref = refs[2 * num_levels]
         n_out = 1
     else:
@@ -375,10 +389,11 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
                                 2 * num_levels + n_out + 2]
     sem_l, sem_r = refs[-2], refs[-1]
 
-    i = pl.program_id(0)
+    i = pl.program_id(0)                             # step index
+    n_steps = n_rois // group
     ps = pk                                          # = p * 2 = 14 samples
 
-    def dma(side_feats, scratch, sem, meta_ref, j, slot):
+    def dma(side_feats, scratch, sem, meta_ref, j, slot, g):
         """Start-or-wait helper: returns the copy descriptors per level."""
         out = []
         for lvl in range(num_levels):
@@ -387,24 +402,29 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
             x0 = pl.multiple_of(meta_ref[j, 2], 8)
             out.append((lvl, pltpu.make_async_copy(
                 side_feats[lvl].at[pl.ds(y0, wh), pl.ds(x0, ww), :],
-                scratch.at[slot, pl.ds(0, wh), pl.ds(0, ww), :],
-                sem.at[slot])))
+                scratch.at[slot, g, pl.ds(0, wh), pl.ds(0, ww), :],
+                sem.at[slot, g])))
         return out
 
-    def start_both(j, slot):
-        for meta_ref, feats, scratch, sem in (
-                (meta_l_ref, feat_l, scratch_l, sem_l),
-                (meta_r_ref, feat_r, scratch_r, sem_r)):
-            for lvl, copy in dma(feats, scratch, sem, meta_ref, j, slot):
-                @pl.when(meta_ref[j, 0] == lvl)
-                def _():
-                    copy.start()
+    def start_group(step, slot):
+        for g in range(group):
+            j = step * group + g
+            for meta_ref, feats, scratch, sem in (
+                    (meta_l_ref, feat_l, scratch_l, sem_l),
+                    (meta_r_ref, feat_r, scratch_r, sem_r)):
+                for lvl, copy in dma(feats, scratch, sem, meta_ref, j,
+                                     slot, g):
+                    @pl.when(meta_ref[j, 0] == lvl)
+                    def _():
+                        copy.start()
 
-    def wait_both(j, slot):
+    def wait_one(step, slot, g):
+        j = step * group + g
         for meta_ref, feats, scratch, sem in (
                 (meta_l_ref, feat_l, scratch_l, sem_l),
                 (meta_r_ref, feat_r, scratch_r, sem_r)):
-            for lvl, copy in dma(feats, scratch, sem, meta_ref, j, slot):
+            for lvl, copy in dma(feats, scratch, sem, meta_ref, j,
+                                 slot, g):
                 @pl.when(meta_ref[j, 0] == lvl)
                 def _():
                     copy.wait()
@@ -415,61 +435,68 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
     if bench_skip not in ("dma", "all"):
         @pl.when(i == 0)
         def _():
-            start_both(0, 0)
+            start_group(0, 0)
 
-        @pl.when(i + 1 < n_rois)
+        @pl.when(i + 1 < n_steps)
         def _():
-            start_both(i + 1, nxt)
-
-        wait_both(i, slot)
+            start_group(i + 1, nxt)
 
     if bench_skip in ("compute", "all"):
-        if packed_out:
-            packed_ref[0] = jnp.zeros((ps * ps + 2 * p * p, c), jnp.float32)
-        else:
-            out14l_ref[0] = jnp.zeros((ps, ps, c), jnp.float32)
-            out7l_ref[0] = jnp.zeros((p, p, c), jnp.float32)
-            out7r_ref[0] = jnp.zeros((p, p, c), jnp.float32)
+        if bench_skip == "compute":                  # consume the DMAs
+            for g in range(group):
+                wait_one(i, slot, g)
+        for g in range(group):
+            if packed_out:
+                packed_ref[g] = jnp.zeros((ps * ps + 2 * p * p, c),
+                                          jnp.float32)
+            else:
+                out14l_ref[0] = jnp.zeros((ps, ps, c), jnp.float32)
+                out7l_ref[0] = jnp.zeros((p, p, c), jnp.float32)
+                out7r_ref[0] = jnp.zeros((p, p, c), jnp.float32)
         return
 
-    valid_l = (meta_l_ref[i, 3] > 0).astype(jnp.float32)
-    valid_r = (meta_r_ref[i, 3] > 0).astype(jnp.float32)
+    for g in range(group):
+        j = i * group + g
+        if bench_skip != "dma":
+            wait_one(i, slot, g)
+        valid_l = (meta_l_ref[j, 3] > 0).astype(jnp.float32)
+        valid_r = (meta_r_ref[j, 3] > 0).astype(jnp.float32)
 
-    for lvl in range(num_levels):
-        wh, ww = win_shapes[lvl]
+        for lvl in range(num_levels):
+            wh, ww = win_shapes[lvl]
 
-        @pl.when(meta_l_ref[i, 0] == lvl)
-        def _():
-            window = scratch_l[slot, pl.ds(0, wh), pl.ds(0, ww), :]
-            samples = _sample_grid(
-                window, wh, ww, c, ps,
-                geom_l_ref[i, 0], geom_l_ref[i, 1],
-                geom_l_ref[i, 2], geom_l_ref[i, 3],
-                hat_dtype=hat_dtype) * valid_l
-            pooled = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
-            if packed_out:
-                packed_ref[0, pl.ds(0, ps * ps)] = samples.reshape(
-                    ps * ps, c)
-                packed_ref[0, pl.ds(ps * ps, p * p)] = pooled.reshape(
-                    p * p, c)
-            else:
-                out14l_ref[0] = samples
-                out7l_ref[0] = pooled
+            @pl.when(meta_l_ref[j, 0] == lvl)
+            def _():
+                window = scratch_l[slot, g, pl.ds(0, wh), pl.ds(0, ww), :]
+                samples = _sample_grid(
+                    window, wh, ww, c, ps,
+                    geom_l_ref[j, 0], geom_l_ref[j, 1],
+                    geom_l_ref[j, 2], geom_l_ref[j, 3],
+                    hat_dtype=hat_dtype) * valid_l
+                pooled = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
+                if packed_out:
+                    packed_ref[g, pl.ds(0, ps * ps)] = samples.reshape(
+                        ps * ps, c)
+                    packed_ref[g, pl.ds(ps * ps, p * p)] = pooled.reshape(
+                        p * p, c)
+                else:
+                    out14l_ref[0] = samples
+                    out7l_ref[0] = pooled
 
-        @pl.when(meta_r_ref[i, 0] == lvl)
-        def _():
-            window = scratch_r[slot, pl.ds(0, wh), pl.ds(0, ww), :]
-            samples = _sample_grid(
-                window, wh, ww, c, ps,
-                geom_r_ref[i, 0], geom_r_ref[i, 1],
-                geom_r_ref[i, 2], geom_r_ref[i, 3],
-                hat_dtype=hat_dtype) * valid_r
-            pooled = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
-            if packed_out:
-                packed_ref[0, pl.ds(ps * ps + p * p, p * p)] = \
-                    pooled.reshape(p * p, c)
-            else:
-                out7r_ref[0] = pooled
+            @pl.when(meta_r_ref[j, 0] == lvl)
+            def _():
+                window = scratch_r[slot, g, pl.ds(0, wh), pl.ds(0, ww), :]
+                samples = _sample_grid(
+                    window, wh, ww, c, ps,
+                    geom_r_ref[j, 0], geom_r_ref[j, 1],
+                    geom_r_ref[j, 2], geom_r_ref[j, 3],
+                    hat_dtype=hat_dtype) * valid_r
+                pooled = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
+                if packed_out:
+                    packed_ref[g, pl.ds(ps * ps + p * p, p * p)] = \
+                        pooled.reshape(p * p, c)
+                else:
+                    out7r_ref[0] = pooled
 
 
 # Tighter per-level window bounds than the generic kernel: a roi assigned
@@ -696,7 +723,8 @@ def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
                             interpret: bool = False,
                             hat_dtype=jnp.float32,
                             bench_skip: str | None = None,
-                            packed_out: bool = False):
+                            packed_out: bool = False,
+                            group: int = 1):
     """Fused stereo RoIAlign for one image.
 
     feats_*: 4-level pyramids [H_l, W_l, C]; rois_*: [R, 4].
@@ -706,6 +734,7 @@ def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
     (14, sr=1).
     """
     assert kpt_size == pooling_size * 2
+    assert group == 1 or packed_out, "group > 1 requires packed_out"
     r = rois_l.shape[0]
     c = feats_l[0].shape[-1]
     num_levels = len(feats_l)
@@ -717,18 +746,25 @@ def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
                                       strides, kpt_size)
     meta_r, geom_r = _roi_window_meta(level_shapes, win_shapes, rois_r,
                                       strides, kpt_size)
+    rp = ((r + group - 1) // group) * group          # pad to group multiple
+    if rp != r:
+        pad = ((0, rp - r), (0, 0))
+        meta_l = jnp.pad(meta_l, pad)                # level 0, origin 0,
+        meta_r = jnp.pad(meta_r, pad)                # valid 0 -> zero out
+        geom_l = jnp.pad(geom_l, pad)
+        geom_r = jnp.pad(geom_r, pad)
 
     kernel = functools.partial(
         _stereo_kernel, num_levels=num_levels, p=pooling_size, pk=kpt_size,
-        win_shapes=win_shapes, c=c, n_rois=r, hat_dtype=hat_dtype,
-        bench_skip=bench_skip, packed_out=packed_out)
+        win_shapes=win_shapes, c=c, n_rois=rp, hat_dtype=hat_dtype,
+        bench_skip=bench_skip, packed_out=packed_out, group=group)
 
     p = pooling_size
     if packed_out:
         rows = kpt_size * kpt_size + 2 * p * p
-        out_specs = pl.BlockSpec((1, rows, c), lambda i, *_: (i, 0, 0),
+        out_specs = pl.BlockSpec((group, rows, c), lambda i, *_: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((r, rows, c), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((rp, rows, c), jnp.float32)
     else:
         out_specs = (
             pl.BlockSpec((1, kpt_size, kpt_size, c),
@@ -740,21 +776,22 @@ def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
                          memory_space=pltpu.VMEM),
         )
         out_shape = (
-            jax.ShapeDtypeStruct((r, kpt_size, kpt_size, c), jnp.float32),
-            jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
-            jax.ShapeDtypeStruct((r, p, p, c), jnp.float32),
+            jax.ShapeDtypeStruct((rp, kpt_size, kpt_size, c), jnp.float32),
+            jax.ShapeDtypeStruct((rp, p, p, c), jnp.float32),
+            jax.ShapeDtypeStruct((rp, p, p, c), jnp.float32),
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(r,),
+        grid=(rp // group,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)
                   for _ in range(2 * num_levels)],
         out_specs=out_specs,
         scratch_shapes=(
-            [pltpu.VMEM((2, max(h for h, _ in win_shapes),
+            [pltpu.VMEM((2, group, max(h for h, _ in win_shapes),
                          max(w for _, w in win_shapes), c),
                         feats_l[0].dtype)] * 2 +
-            [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]),
+            [pltpu.SemaphoreType.DMA((2, group)),
+             pltpu.SemaphoreType.DMA((2, group))]),
     )
     out = pl.pallas_call(
         kernel,
@@ -763,14 +800,14 @@ def stereo_roi_align_pallas(feats_l, feats_r, rois_l, rois_r, strides,
         interpret=interpret,
     )(meta_l, geom_l, meta_r, geom_r, *feats_l, *feats_r)
     if packed_out == "raw":
-        return out                                   # [R, rows, C]
+        return out[:r] if rp != r else out           # [R, rows, C]
     if packed_out:
         pp, kk = p * p, kpt_size * kpt_size
-        out14l = out[:, :kk].reshape(r, kpt_size, kpt_size, c)
-        out7l = out[:, kk:kk + pp].reshape(r, p, p, c)
-        out7r = out[:, kk + pp:].reshape(r, p, p, c)
+        out14l = out[:r, :kk].reshape(r, kpt_size, kpt_size, c)
+        out7l = out[:r, kk:kk + pp].reshape(r, p, p, c)
+        out7r = out[:r, kk + pp:].reshape(r, p, p, c)
     else:
-        out14l, out7l, out7r = out
+        out14l, out7l, out7r = (o[:r] for o in out)
     return out7l, out7r, out14l
 
 

@@ -145,6 +145,34 @@ def test_fused_stereo_kernel_packed_parity(pyramid):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(pk))
 
 
+def test_fused_stereo_kernel_group_parity(pyramid):
+    """group>1 (multiple rois per grid step) must be bit-identical to
+    group=1, including the padded tail when R % group != 0."""
+    feats, strides, h, w = pyramid
+    r = np.random.RandomState(9)
+    rois_l, rois_r = [], []
+    for size in (40, 90, 180):
+        for _ in range(3):                           # 9 rois: odd for pad
+            x1 = r.uniform(20, max(w - size - 20, 21))
+            y1 = r.uniform(8, max(h - size // 2 - 8, 9))
+            box = [x1, y1, min(x1 + size, w - 2.0),
+                   min(y1 + size / 2, h - 4.0)]
+            rois_l.append(box)
+            rois_r.append([box[0] - 12, box[1], box[2] - 12, box[3]])
+    rois_l = jnp.asarray(np.asarray(rois_l, np.float32))
+    rois_r = jnp.asarray(np.asarray(rois_r, np.float32))
+
+    from stereo_rcnn_tpu.ops.roi_align_pallas import stereo_roi_align_pallas
+    base = stereo_roi_align_pallas(feats, feats, rois_l, rois_r, strides,
+                                   7, 14, interpret=True, packed_out=True)
+    for g in (2, 4):
+        out = stereo_roi_align_pallas(feats, feats, rois_l, rois_r,
+                                      strides, 7, 14, interpret=True,
+                                      packed_out=True, group=g)
+        for b_, o_ in zip(base, out):
+            np.testing.assert_array_equal(np.asarray(b_), np.asarray(o_))
+
+
 def test_fused_stereo_kernel_hilo_parity(pyramid):
     """hat_dtype='hilo' (two-pass bf16 hat matmuls, ~2^-17 relative error
     — see _sample_grid) must hold the SAME parity tolerance vs the XLA

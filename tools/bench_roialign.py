@@ -133,6 +133,24 @@ def main():
     timeit("pallas packed step-floor", run_packed(skip="all"))
     timeit("pallas packed kron_bf16", run_packed("kron_bf16"))
     timeit("pallas packed kron_hilo", run_packed("kron_hilo"))
+
+    # group = rois per grid step: amortizes step machinery, overlaps
+    # 2*group window DMAs per side.  VMEM-bound: scratch is
+    # 2 slots x group x (48,64,C) per side.
+    def run_group(g, hat_dtype=jnp.float32, skip=None):
+        def f(fl, rl, rr):
+            return jax.vmap(lambda f_, a, b: stereo_roi_align_pallas(
+                list(f_), list(f_), a, b, strides, 7, 14,
+                interpret=False, hat_dtype=hat_dtype, bench_skip=skip,
+                packed_out=True, group=g))(tuple(fl), rl, rr)
+        return f
+    for g in (2, 4):
+        try:
+            timeit(f"pallas packed group{g}", run_group(g))
+            timeit(f"pallas packed group{g} floor", run_group(g, skip="all"))
+        except Exception as e:  # noqa: BLE001 — VMEM limits are data
+            print(f"pallas packed group{g}: FAILED "
+                  f"({type(e).__name__}: {str(e)[:120]})")
     # Relayout-free single-matmul sampling (see _sample_grid 'Why kron').
     timeit("pallas hat=kron_bf16", run_hat("kron_bf16"))
     timeit("pallas hat=kron_hilo", run_hat("kron_hilo"))
