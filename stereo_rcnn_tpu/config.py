@@ -81,6 +81,12 @@ class RCNNConfig:
     # rois wider than its per-level window, which only affects extreme
     # aspect-ratio boxes).
     roi_align_impl: str = "xla"
+    # Pallas-kernel sampling-weight precision: "f32" (exact, default),
+    # "kron_bf16" / "kron_hilo" (single-matmul modes, ~2^-9 / ~2^-17
+    # relative weight error, measured ~1.7 / ~1.4 us/roi faster).
+    # INFERENCE-ONLY knob: the kernel's custom backward is the exact f32
+    # hat transpose regardless, so keep "f32" for training.
+    roi_align_hat: str = "f32"
     fc_dim: int = 2048                   # FC trunk width after pooled concat
     num_classes: int = 2                 # ('__background__', 'Car')
 

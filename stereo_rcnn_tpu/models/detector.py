@@ -172,7 +172,8 @@ def roi_features(model: StereoRCNN, feats_l, feats_r, rois_left, rois_right):
         # lazily (see stereo_roi_align_batched_packed docstring).
         packed = stereo_roi_align_batched_packed(
             tuple(feats_l[:4]), tuple(feats_r[:4]), rois_left, rois_right,
-            tuple(strides), p, pk, None)              # [B, N, rows, C]
+            tuple(strides), p, pk, None,
+            cfg.rcnn.roi_align_hat)                   # [B, N, rows, C]
         c = packed.shape[-1]
         kk, pp = pk * pk, p * p
         flat = packed.reshape(b * n, kk + 2 * pp, c)

@@ -1035,11 +1035,16 @@ def _batched_bwd(strides, pooling_size, kpt_size, interpret, res, g):
 stereo_roi_align_batched.defvjp(_batched_fwd, _batched_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+_HAT_MODES = {"f32": jnp.float32, "kron_bf16": "kron_bf16",
+              "kron_hilo": "kron_hilo"}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def stereo_roi_align_batched_packed(feats_l, feats_r, rois_l, rois_r,
                                     strides, pooling_size: int = 7,
                                     kpt_size: int = 14,
-                                    interpret: bool | None = None):
+                                    interpret: bool | None = None,
+                                    hat: str = "f32"):
     """Like :func:`stereo_roi_align_batched` but returns the RAW packed
     per-roi block [B, R, pk*pk + 2*p*p, C] (row layout: kpt samples, then
     7x7 left, then 7x7 right).
@@ -1051,24 +1056,32 @@ def stereo_roi_align_batched_packed(feats_l, feats_r, rois_l, rois_r,
     ~1.8 GB/batch-16 of full-size slices that XLA cannot fuse away —
     measured to cost MORE than the packed kernel saves (bench.py 114.5
     -> 108.1 pairs/s with eager splits vs the unpacked kernel).
+
+    ``hat``: sampling-weight mode, one of _HAT_MODES ("f32" exact —
+    default; "kron_bf16"/"kron_hilo" are faster single-matmul modes with
+    ~2^-9 / ~2^-17 relative weight error — INFERENCE-ONLY: the custom
+    backward is the exact f32 hat transpose regardless, so non-f32
+    forward + training would use slightly mismatched gradients).
     """
     interpret = _auto_interpret(interpret)
     fn = functools.partial(stereo_roi_align_pallas, strides=strides,
                            pooling_size=pooling_size, kpt_size=kpt_size,
-                           interpret=interpret, packed_out="raw")
+                           interpret=interpret, packed_out="raw",
+                           hat_dtype=_HAT_MODES[hat])
     return jax.vmap(lambda fl, fr, rl, rr: fn(list(fl), list(fr), rl, rr))(
         tuple(feats_l), tuple(feats_r), rois_l, rois_r)
 
 
 def _batched_packed_fwd(feats_l, feats_r, rois_l, rois_r, strides,
-                        pooling_size, kpt_size, interpret):
+                        pooling_size, kpt_size, interpret, hat):
     out = stereo_roi_align_batched_packed(feats_l, feats_r, rois_l, rois_r,
                                           strides, pooling_size, kpt_size,
-                                          interpret)
+                                          interpret, hat)
     return out, (tuple(feats_l), tuple(feats_r), rois_l, rois_r)
 
 
-def _batched_packed_bwd(strides, pooling_size, kpt_size, interpret, res, g):
+def _batched_packed_bwd(strides, pooling_size, kpt_size, interpret, hat,
+                        res, g):
     feats_l, feats_r, rois_l, rois_r = res
     p, pk = pooling_size, kpt_size
     kk, pp = pk * pk, p * p

@@ -43,6 +43,12 @@ def main():
                          "or 'all' (none/untinted/illum/noise): same "
                          "scenes, perturbed appearance — bounds renderer "
                          "circularity in the AP claim")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="dotted config override, e.g. "
+                         "rcnn.roi_align_hat=kron_bf16 (repeatable); "
+                         "applied AFTER the checkpoint's config.yaml — for "
+                         "A/B-ing inference-only knobs against the same "
+                         "weights")
     args = ap.parse_args()
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -59,9 +65,19 @@ def main():
                                                   restore_checkpoint)
 
     cfg_path = args.config or os.path.join(args.ckpt_dir, "config.yaml")
-    cfg = load_config(cfg_path if os.path.exists(cfg_path) else None)
+    overrides = {}
+    for kv in args.set:
+        key, _, val = kv.partition("=")
+        node = overrides
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = val
+    cfg = load_config(cfg_path if os.path.exists(cfg_path) else None,
+                      overrides=overrides or None)
     print(f"config: {cfg_path}, resolution "
-          f"{cfg.data.image_h}x{cfg.data.image_w}")
+          f"{cfg.data.image_h}x{cfg.data.image_w}"
+          + (f", overrides {args.set}" if args.set else ""))
 
     state = init_train_state(cfg, jax.random.PRNGKey(0))
     state = restore_checkpoint(args.ckpt_dir, state, step=args.step)
