@@ -853,12 +853,16 @@ def _grad_window(g_samples, wh, ww, c, ps, y1, x1, bin_h, bin_w):
 
 
 def _stereo_bwd_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref,
-                       d14_ref, d7l_ref, d7r_ref, *refs,
+                       gpk_ref, *refs,
                        num_levels: int, p: int, pk: int, win_shapes,
                        c: int):
     """One (batch, roi) pair per grid step; meta carries (level, y0, x0,
-    valid, batch).  refs layout: gl_in[L] + gr_in[L] (aliased with outputs)
-    + gl_out[L] + gr_out[L] + scratch (acc_l, acc_r, sem)."""
+    valid, batch).  The cotangent arrives as ONE packed block
+    [1, pk*pk + 2*p*p, C] per roi (same row layout as the forward's
+    packed output — the forward fix showed per-step block copies are the
+    grid's dominant cost, and the same applies to INPUT blocks here).
+    refs layout: gl_in[L] + gr_in[L] (aliased with outputs) + gl_out[L]
+    + gr_out[L] + scratch (acc_l, acc_r, sem)."""
     n_in = 2 * num_levels
     out_refs = refs[n_in:n_in + 2 * num_levels]
     gl_out = out_refs[:num_levels]
@@ -867,10 +871,14 @@ def _stereo_bwd_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref,
 
     i = pl.program_id(0)
     ps = pk
+    kk, pp = pk * pk, p * p
 
-    d7l_up = jnp.repeat(jnp.repeat(d7l_ref[0], 2, 0), 2, 1) * 0.25
-    d7r_up = jnp.repeat(jnp.repeat(d7r_ref[0], 2, 0), 2, 1) * 0.25
-    g_left = (d14_ref[0] + d7l_up) * \
+    d14 = gpk_ref[0, :kk].reshape(pk, pk, c)
+    d7l = gpk_ref[0, kk:kk + pp].reshape(p, p, c)
+    d7r = gpk_ref[0, kk + pp:].reshape(p, p, c)
+    d7l_up = jnp.repeat(jnp.repeat(d7l, 2, 0), 2, 1) * 0.25
+    d7r_up = jnp.repeat(jnp.repeat(d7r, 2, 0), 2, 1) * 0.25
+    g_left = (d14 + d7l_up) * \
         (meta_l_ref[i, 3] > 0).astype(jnp.float32)
     g_right = d7r_up * (meta_r_ref[i, 3] > 0).astype(jnp.float32)
 
@@ -905,9 +913,10 @@ def _stereo_bwd_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref,
 
 def _stereo_roi_align_bwd_impl(feats_l, feats_r, rois_l, rois_r, strides,
                                pooling_size, kpt_size, interpret,
-                               d7l, d7r, d14l):
+                               g_packed):
     """Batched backward: returns (d_feats_l, d_feats_r) as float32 arrays
-    shaped like the (batched) input pyramids.
+    shaped like the (batched) input pyramids.  ``g_packed`` is the
+    cotangent in packed-row layout [B, R, pk*pk + 2*p*p, C].
 
     One pallas_call per IMAGE (grid = R), sequenced with ``lax.map``:
     Mosaic's per-grid-step scalar bookkeeping costs ~2 KB of SMEM per
@@ -929,16 +938,12 @@ def _stereo_roi_align_bwd_impl(feats_l, feats_r, rois_l, rois_r, strides,
 
     wh_max = max(h for h, _ in win_shapes)
     ww_max = max(w for _, w in win_shapes)
+    rows = kpt_size * kpt_size + 2 * p * p
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(r,),
         in_specs=(
-            [pl.BlockSpec((1, kpt_size, kpt_size, c),
-                          lambda i, *_: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM),
-             pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM),
-             pl.BlockSpec((1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+            [pl.BlockSpec((1, rows, c), lambda i, *_: (i, 0, 0),
                           memory_space=pltpu.VMEM)] +
             [pl.BlockSpec(memory_space=pltpu.HBM)
              for _ in range(2 * num_levels)]),
@@ -950,7 +955,7 @@ def _stereo_roi_align_bwd_impl(feats_l, feats_r, rois_l, rois_r, strides,
     )
 
     def one_image(args):
-        rl, rr, d14_i, d7l_i, d7r_i = args
+        rl, rr, gpk_i = args
         b0 = jnp.zeros((r, 1), jnp.int32)
 
         def meta_of(rois):
@@ -971,17 +976,13 @@ def _stereo_roi_align_bwd_impl(feats_l, feats_r, rois_l, rois_r, strides,
             # Zero-initialised gradient accumulators alias the outputs so
             # each grid step read-modify-writes them in place.  Operand
             # indices INCLUDE the 4 scalar-prefetch args: meta/geom are
-            # 0..3, d14/d7l/d7r are 4..6, the accumulators start at 7.
-            input_output_aliases={7 + k: k for k in range(2 * num_levels)},
+            # 0..3, the packed cotangent is 4, accumulators start at 5.
+            input_output_aliases={5 + k: k for k in range(2 * num_levels)},
             interpret=interpret,
-        )(meta_l, geom_l, meta_r, geom_r, d14_i, d7l_i, d7r_i, *zeros)
+        )(meta_l, geom_l, meta_r, geom_r, gpk_i, *zeros)
         return tuple(o[0] for o in outs)
 
-    outs = jax.lax.map(one_image, (
-        rois_l, rois_r,
-        d14l.reshape(bsz, r, kpt_size, kpt_size, c),
-        d7l.reshape(bsz, r, p, p, c),
-        d7r.reshape(bsz, r, p, p, c)))
+    outs = jax.lax.map(one_image, (rois_l, rois_r, g_packed))
     d_feats_l = list(outs[:num_levels])
     d_feats_r = list(outs[num_levels:])
     return d_feats_l, d_feats_r
@@ -1024,9 +1025,16 @@ def _batched_fwd(feats_l, feats_r, rois_l, rois_r, strides, pooling_size,
 def _batched_bwd(strides, pooling_size, kpt_size, interpret, res, g):
     feats_l, feats_r, rois_l, rois_r = res
     d7l, d7r, d14l = g
+    b, r = rois_l.shape[:2]
+    c = d14l.shape[-1]
+    p, pk = pooling_size, kpt_size
+    g_packed = jnp.concatenate([                     # packed-row cotangent
+        d14l.reshape(b, r, pk * pk, c),
+        d7l.reshape(b, r, p * p, c),
+        d7r.reshape(b, r, p * p, c)], axis=2)
     dl, dr = _stereo_roi_align_bwd_impl(
         feats_l, feats_r, rois_l, rois_r, strides, pooling_size, kpt_size,
-        _auto_interpret(interpret), d7l, d7r, d14l)
+        _auto_interpret(interpret), g_packed)
     dl = tuple(d.astype(f.dtype) for d, f in zip(dl, feats_l))
     dr = tuple(d.astype(f.dtype) for d, f in zip(dr, feats_r))
     return (dl, dr, jnp.zeros_like(rois_l), jnp.zeros_like(rois_r))
@@ -1082,17 +1090,13 @@ def _batched_packed_fwd(feats_l, feats_r, rois_l, rois_r, strides,
 
 def _batched_packed_bwd(strides, pooling_size, kpt_size, interpret, hat,
                         res, g):
+    # g is ALREADY in packed-row layout [B, R, pk*pk + 2*p*p, C] — it
+    # flows straight into the bwd kernel's per-roi input block, with no
+    # full-size slice materializations on either side.
     feats_l, feats_r, rois_l, rois_r = res
-    p, pk = pooling_size, kpt_size
-    kk, pp = pk * pk, p * p
-    b, r = rois_l.shape[:2]
-    c = g.shape[-1]
-    d14l = g[:, :, :kk].reshape(b, r, pk, pk, c)
-    d7l = g[:, :, kk:kk + pp].reshape(b, r, p, p, c)
-    d7r = g[:, :, kk + pp:].reshape(b, r, p, p, c)
     dl, dr = _stereo_roi_align_bwd_impl(
         feats_l, feats_r, rois_l, rois_r, strides, pooling_size, kpt_size,
-        _auto_interpret(interpret), d7l, d7r, d14l)
+        _auto_interpret(interpret), g)
     dl = tuple(d.astype(f.dtype) for d, f in zip(dl, feats_l))
     dr = tuple(d.astype(f.dtype) for d, f in zip(dr, feats_r))
     return (dl, dr, jnp.zeros_like(rois_l), jnp.zeros_like(rois_r))

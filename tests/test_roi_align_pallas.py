@@ -173,6 +173,35 @@ def test_fused_stereo_kernel_group_parity(pyramid):
             np.testing.assert_array_equal(np.asarray(b_), np.asarray(o_))
 
 
+def test_fused_stereo_kernel_kron_bf16_parity(pyramid):
+    """kron_bf16 (single-matmul bf16 sampling weights — the bench/serving
+    inference knob) must track the XLA reference within bf16-weight
+    tolerance: ~2^-9 relative on each of <=4 taps per sample."""
+    feats, strides, h, w = pyramid
+    r = np.random.RandomState(5)
+    rois_l, rois_r = [], []
+    for size in (40, 90, 180):
+        for _ in range(3):
+            x1 = r.uniform(30, w - size - 30) if w - size - 60 > 0 else 30
+            y1 = r.uniform(8, max(h - size // 2 - 8, 9))
+            box = [x1, y1, x1 + size, min(y1 + size / 2, h - 4.0)]
+            rois_l.append(box)
+            rois_r.append([box[0] - 10, box[1], box[2] - 10, box[3]])
+    rois_l = jnp.asarray(np.asarray(rois_l, np.float32))
+    rois_r = jnp.asarray(np.asarray(rois_r, np.float32))
+
+    from stereo_rcnn_tpu.ops.roi_align_pallas import stereo_roi_align_pallas
+    out = stereo_roi_align_pallas(feats, feats, rois_l, rois_r, strides,
+                                  7, 14, interpret=True,
+                                  hat_dtype="kron_bf16", packed_out=True)
+    refs = (multilevel_roi_align(feats, rois_l, strides, 7, 2),
+            multilevel_roi_align(feats, rois_r, strides, 7, 2),
+            multilevel_roi_align(feats, rois_l, strides, 14, 1))
+    for o, rf in zip(out, refs):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(rf),
+                                   atol=2e-2, rtol=1e-2)
+
+
 def test_fused_stereo_kernel_hilo_parity(pyramid):
     """hat_dtype='hilo' (two-pass bf16 hat matmuls, ~2^-17 relative error
     — see _sample_grid) must hold the SAME parity tolerance vs the XLA
