@@ -270,6 +270,25 @@ def _update_dataclass(obj: Any, overrides: Mapping[str, Any]) -> Any:
     return dataclasses.replace(obj, **changes)
 
 
+def parse_set_overrides(pairs: Sequence[str]) -> dict:
+    """Parse CLI ``--set a.b.c=value`` pairs into the nested override
+    mapping :func:`load_config` accepts.  Mirrors the reference's
+    ``cfg_from_list`` (``--set_cfgs``).  Values stay strings — intended
+    for string-typed knobs (e.g. ``rcnn.roi_align_hat=kron_bf16``);
+    numeric keys should use a YAML overlay instead."""
+    overrides: dict = {}
+    for kv in pairs:
+        key, sep, val = kv.partition("=")
+        if not sep or not key:
+            raise ValueError(f"--set expects KEY=VALUE, got {kv!r}")
+        node = overrides
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = val
+    return overrides
+
+
 def load_config(yaml_path: str | None = None,
                 overrides: Mapping[str, Any] | None = None,
                 base: Config | None = None) -> Config:

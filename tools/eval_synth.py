@@ -64,17 +64,10 @@ def main():
     from stereo_rcnn_tpu.train.checkpoint import (latest_step,
                                                   restore_checkpoint)
 
+    from stereo_rcnn_tpu.config import parse_set_overrides
     cfg_path = args.config or os.path.join(args.ckpt_dir, "config.yaml")
-    overrides = {}
-    for kv in args.set:
-        key, _, val = kv.partition("=")
-        node = overrides
-        parts = key.split(".")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = val
     cfg = load_config(cfg_path if os.path.exists(cfg_path) else None,
-                      overrides=overrides or None)
+                      overrides=parse_set_overrides(args.set) or None)
     print(f"config: {cfg_path}, resolution "
           f"{cfg.data.image_h}x{cfg.data.image_w}"
           + (f", overrides {args.set}" if args.set else ""))
