@@ -249,7 +249,7 @@ def _hi_lo(w):
 
 
 def _sample_grid(window, wh, ww, c, ps, y1, x1, bin_h, bin_w,
-                 hat_dtype=jnp.float32):
+                 hat_dtype=jnp.float32, avg: int = 1):
     """[ps, ps, C] bilinear samples at ((j+.5)*bin) offsets via hat-matmuls.
 
     ``hat_dtype`` selects the weight-matrix precision fed to the MXU:
@@ -269,6 +269,14 @@ def _sample_grid(window, wh, ww, c, ps, y1, x1, bin_h, bin_w,
     elementwise on the natural [ps*ps, wh*ww] layout, the window reshape
     [wh, ww, C] -> [wh*ww, C] merges leading dims (free), and the matmul
     output [ps*ps, C] IS the y-major result.
+
+    ``avg``: bin-mean pooling FOLDED INTO THE WEIGHTS.  avg=s returns the
+    [ps, ps, C] means of s x s sample blocks of the (ps*avg)-sample grid
+    (``bin_h``/``bin_w`` are the FULL grid's steps, i.e. roi / (ps*avg)).
+    Exact by linearity: mean of s*s bilinear samples == one sampling pass
+    with the s-averaged hat rows — and the weight matrix shrinks s x in
+    rows (e.g. the right side's 7x7/sr2 pool: [49, wh*ww] instead of
+    [196, wh*ww] + a separate mean).
     """
     if isinstance(hat_dtype, str) and hat_dtype.startswith("kron"):
         # Sample positions vary only along rows (r = y*ps + x), cell
@@ -277,15 +285,20 @@ def _sample_grid(window, wh, ww, c, ps, y1, x1, bin_h, bin_w,
         # ~3K elements, and only the final hat compare+multiply touches
         # the full [ps*ps, wh*ww] tile.
         r_col = jax.lax.broadcasted_iota(jnp.int32, (ps * ps, 1), 0)
-        y_pos = (r_col // ps).astype(jnp.float32) + 0.5
-        x_pos = (r_col % ps).astype(jnp.float32) + 0.5
-        ys = jnp.clip(y1 + y_pos * bin_h, 0.0, wh - 1.0)      # [ps*ps, 1]
-        xs = jnp.clip(x1 + x_pos * bin_w, 0.0, ww - 1.0)
+        y_idx = (r_col // ps).astype(jnp.float32)
+        x_idx = (r_col % ps).astype(jnp.float32)
         q_row = jax.lax.broadcasted_iota(jnp.int32, (1, wh * ww), 1)
         h_idx = (q_row // ww).astype(jnp.float32)             # [1, wh*ww]
         w_idx = (q_row % ww).astype(jnp.float32)
-        wgt = (jnp.maximum(0.0, 1.0 - jnp.abs(h_idx - ys))
-               * jnp.maximum(0.0, 1.0 - jnp.abs(w_idx - xs)))
+        wy = wx = 0.0
+        for a in range(avg):                      # avg-folded hat rows
+            ys = jnp.clip(y1 + (y_idx * avg + a + 0.5) * bin_h,
+                          0.0, wh - 1.0)                      # [ps*ps, 1]
+            xs = jnp.clip(x1 + (x_idx * avg + a + 0.5) * bin_w,
+                          0.0, ww - 1.0)
+            wy = wy + jnp.maximum(0.0, 1.0 - jnp.abs(h_idx - ys))
+            wx = wx + jnp.maximum(0.0, 1.0 - jnp.abs(w_idx - xs))
+        wgt = wy * wx * (1.0 / (avg * avg))
         win2 = window.reshape(wh * ww, c)
         if hat_dtype == "kron_bf16":
             out = jnp.dot(wgt.astype(jnp.bfloat16), win2,
@@ -295,16 +308,20 @@ def _sample_grid(window, wh, ww, c, ps, y1, x1, bin_h, bin_w,
             out = (jnp.dot(hi, win2, preferred_element_type=jnp.float32)
                    + jnp.dot(lo, win2, preferred_element_type=jnp.float32))
         return out.reshape(ps, ps, c)                # already y-major
-    grid = (jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)[:, 0]
+    n = ps * avg
+    grid = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
             .astype(jnp.float32) + 0.5)
     ys = jnp.clip(y1 + grid * bin_h, 0.0, wh - 1.0)
     xs = jnp.clip(x1 + grid * bin_w, 0.0, ww - 1.0)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (ps, wh),
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (n, wh),
                                       1).astype(jnp.float32)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (ps, ww),
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (n, ww),
                                       1).astype(jnp.float32)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(iota_h - ys[:, None]))
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota_w - xs[:, None]))
+    if avg > 1:
+        wy = wy.reshape(ps, avg, wh).mean(axis=1)
+        wx = wx.reshape(ps, avg, ww).mean(axis=1)
 
     def contract_y(wy_):
         return jnp.dot(wy_, window.reshape(wh, ww * c),
@@ -485,13 +502,15 @@ def _stereo_kernel(meta_l_ref, geom_l_ref, meta_r_ref, geom_r_ref, *refs,
 
             @pl.when(meta_r_ref[j, 0] == lvl)
             def _():
+                # The right side only needs the p x p / sr-2 pool: fold
+                # the 2x2 bin-mean into the hat weights (avg=2, exact by
+                # linearity) — half the weight rows, no separate mean.
                 window = scratch_r[slot, g, pl.ds(0, wh), pl.ds(0, ww), :]
-                samples = _sample_grid(
-                    window, wh, ww, c, ps,
+                pooled = _sample_grid(
+                    window, wh, ww, c, p,
                     geom_r_ref[j, 0], geom_r_ref[j, 1],
                     geom_r_ref[j, 2], geom_r_ref[j, 3],
-                    hat_dtype=hat_dtype) * valid_r
-                pooled = samples.reshape(p, 2, p, 2, c).mean(axis=(1, 3))
+                    hat_dtype=hat_dtype, avg=2) * valid_r
                 if packed_out:
                     packed_ref[g, pl.ds(ps * ps + p * p, p * p)] = \
                         pooled.reshape(p * p, c)
