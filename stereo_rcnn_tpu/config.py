@@ -224,6 +224,11 @@ class DataConfig:
     # Treat these KITTI types as ignore regions (no loss): reference treats
     # Van/DontCare specially (uncertain exact semantics — SURVEY.md §2.2).
     ignore_types: Tuple[str, ...] = ("Van", "Truck", "DontCare")
+    # Orientation cue the synthetic renderer paints on objects (KITTI data
+    # ignores this): "tints" (per-face color code), "shaded" (achromatic
+    # Lambertian face shading from a fixed light — the physically-honest
+    # cue), "plain" (none).  See data/synthetic.py::APPEARANCES.
+    synthetic_appearance: str = "tints"
 
 
 @dataclasses.dataclass(frozen=True)

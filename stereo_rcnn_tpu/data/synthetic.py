@@ -116,6 +116,26 @@ _FACE_TINTS = np.array([
     [1.10, 1.10, 0.45],   # -w side: cyan-ish
 ], np.float32)
 
+#: Lambertian shading (appearance="shaded"): a fixed scene light in the
+#: CAMERA frame.  Face brightness = ambient + diffuse * max(0, n . l)
+#: where n is the outward normal of the visible vertical face — so
+#: orientation is observable from ACHROMATIC, physically-motivated
+#: shading (the way real cars reveal yaw) instead of the per-face color
+#: code above.  The tints mode trivially leaks face identity through hue;
+#: a model trained on "shaded" must invert the lighting model from the
+#: two-face brightness profile and the brightness step at the projected
+#: nearest corner, which is a strictly harder and more honest
+#: orientation cue.  Light direction is horizontal (only vertical faces
+#: are ray-cast), pointing from behind-right of the camera, unit norm.
+_SHADE_LIGHT_XZ = np.array([0.45, -0.893], np.float64)
+_SHADE_LIGHT_XZ /= np.linalg.norm(_SHADE_LIGHT_XZ)
+_SHADE_AMBIENT = 0.45
+_SHADE_DIFFUSE = 0.9
+
+#: Renderer appearance modes (DataConfig.synthetic_appearance / the
+#: per-domain overrides in ``synthetic_batch``).
+APPEARANCES = ("tints", "shaded", "plain")
+
 
 def _surface_profile_np(us: np.ndarray, location: np.ndarray,
                         dims_hwl: np.ndarray, ry: float,
@@ -173,7 +193,7 @@ def _surface_depth_np(us: np.ndarray, location: np.ndarray,
 
 def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
                 im_w: int, rng: np.random.RandomState,
-                tints: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+                appearance: str = "tints") -> Tuple[np.ndarray, np.ndarray]:
     """Paint each car with PHYSICALLY CORRECT per-pixel stereo
     correspondence; background is smooth noise.  Returns float32 BGR-ish
     images in [0, 255], shape [H, W, 3].
@@ -185,11 +205,16 @@ def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
     photometric refinement is well-posed on these scenes (a flat-sprite
     constant shift would bias it by the surface-vs-edge depth gap).
 
-    ``tints=False`` renders WITHOUT the per-face tints / along-face
-    gradient (a held-out eval domain: orientation is then observable only
-    from the stereo disparity profile, not appearance).  It consumes the
-    identical rng stream as the tinted render, so the same seed yields
-    the SAME scene geometry and textures across domains."""
+    ``appearance`` selects the orientation cue painted on object pixels:
+    "tints" (per-face color code + along-face gradient), "shaded"
+    (achromatic Lambertian face shading from a fixed scene light — see
+    ``_SHADE_LIGHT_XZ``), or "plain" (no cue: orientation observable only
+    from the stereo disparity profile).  All modes consume the identical
+    rng stream, so the same seed yields the SAME scene geometry and
+    textures across appearances/domains."""
+    if appearance not in APPEARANCES:
+        raise ValueError(f"unknown appearance {appearance!r}; "
+                         f"known: {APPEARANCES}")
     def smooth_noise():
         small = rng.rand(im_h // 8 + 1, im_w // 8 + 1, 3) * 255
         img = np.kron(small, np.ones((8, 8, 1)))[:im_h, :im_w]
@@ -246,10 +271,22 @@ def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
         us = np.arange(xi1, xi2, dtype=np.float64) + 0.5
         zs, face, along, hit = _surface_profile_np(
             us, o.location, o.dims, o.ry, calib)
-        if tints:
+        if appearance == "tints":
             gain = _FACE_TINTS[face] * (0.85 + 0.25 * along)[:, None]
             gain = np.where(hit[:, None], gain, 1.0)
             tex = np.clip(tex * gain[None, :, :], 0.0, 255.0)
+        elif appearance == "shaded":
+            # Outward normals of the 4 vertical faces in camera (x, z):
+            # the object length axis in camera coords is (cos ry, -sin ry)
+            # and the width axis (sin ry, cos ry) — the same frame
+            # _surface_profile_np ray-casts in.
+            c_, s_ = np.cos(o.ry), np.sin(o.ry)
+            normals = np.array([[c_, -s_], [-c_, s_],
+                                [s_, c_], [-s_, -c_]], np.float64)
+            g4 = _SHADE_AMBIENT + _SHADE_DIFFUSE * np.clip(
+                normals @ _SHADE_LIGHT_XZ, 0.0, None)
+            gcol = np.where(hit, g4[face], 1.0)
+            tex = np.clip(tex * gcol[None, :, None], 0.0, 255.0)
         left[yi1:yi2, xi1:xi2] = tex
 
         # Right view: bilinear-splat each left column at u - f*b/z(u).
@@ -284,15 +321,21 @@ def render_pair(objs: List[KittiObject], calib: StereoCalib, im_h: int,
 #: per-frame rng so the scene stream is untouched).  They bound how much
 #: of a synthetic AP number is an artifact of evaluating inside the
 #: training renderer's own quirks (VERDICT round-4 weak #5):
-#:   none     — the training distribution
-#:   untinted — no face tints/gradient: yaw observable ONLY from the
+#:   none     — the training distribution (cfg.data.synthetic_appearance)
+#:   untinted — "plain" appearance: yaw observable ONLY from the
 #:              disparity profile, not appearance
+#:   shaded   — Lambertian face shading (achromatic orientation cue)
+#:   tinted   — per-face color-code tints (regardless of cfg appearance)
 #:   illum    — global per-frame brightness/contrast shift (consistent
 #:              across the stereo pair, so photometric matching holds)
 #:   noise    — independent per-view sensor noise (sigma 8/255): breaks
 #:              exact left/right photometric identity, stressing dense
 #:              alignment's sub-pixel refinement
-EVAL_DOMAINS = ("none", "untinted", "illum", "noise")
+EVAL_DOMAINS = ("none", "untinted", "shaded", "tinted", "illum", "noise")
+
+#: Domains that FORCE an appearance; others render cfg's appearance.
+_DOMAIN_APPEARANCE = {"untinted": "plain", "shaded": "shaded",
+                      "tinted": "tints"}
 
 
 def synthetic_batch(cfg: Config, batch: int, seed: int = 0,
@@ -315,10 +358,12 @@ def synthetic_batch(cfg: Config, batch: int, seed: int = 0,
     if unknown:
         raise ValueError(f"no synthetic renderer spec for classes "
                          f"{unknown}; known: {sorted(_CLASS_SPECS)}")
+    appearance = _DOMAIN_APPEARANCE.get(domain,
+                                        cfg.data.synthetic_appearance)
     for b in range(batch):
         objs = random_scene(rng, n_objects, calib_s, h, w, class_names)
         il, ir = render_pair(objs, calib_s, h, w, rng,
-                             tints=(domain != "untinted"))
+                             appearance=appearance)
         if domain in ("illum", "noise"):
             # Separate rng: the scene stream above stays untouched, so
             # every domain evaluates the IDENTICAL scenes.

@@ -83,6 +83,49 @@ def test_noise_is_independent_per_view():
     assert abs(corr) < 0.05
 
 
+def test_shaded_is_achromatic_and_object_only():
+    """Lambertian shading is a per-column ACHROMATIC gain on object
+    pixels: per-pixel channel ratios stay equal, background untouched."""
+    il0, _, gt, _ = _batch("untinted")           # plain = pre-gain pixels
+    il1, _, gt1, _ = _batch("shaded")
+    means = np.asarray(CFG.backbone.pixel_means_bgr, np.float32)
+    a0, a1 = il0[0] + means, il1[0] + means
+    diff = np.abs(a0 - a1).max(-1) > 1e-3
+    ys, xs = np.nonzero(diff)
+    assert len(ys) > 0
+    boxes = np.asarray(gt.left[0])[np.asarray(gt.valid[0])]
+    for y, x in zip(ys[:: max(len(ys) // 50, 1)],
+                    xs[:: max(len(xs) // 50, 1)]):
+        inside = ((boxes[:, 0] - 1 <= x) & (x <= boxes[:, 2] + 1) &
+                  (boxes[:, 1] - 1 <= y) & (y <= boxes[:, 3] + 1))
+        assert inside.any(), (y, x)
+        # Achromatic: the same multiplicative gain on every channel
+        # (skip clipped pixels where the ratio is distorted).
+        p0, p1 = a0[y, x], a1[y, x]
+        if (p0 > 2.0).all() and (p1 < 253.0).all():
+            r = p1 / np.maximum(p0, 1e-6)
+            assert r.max() - r.min() < 1e-3, (y, x, r)
+
+
+def test_cfg_appearance_is_the_none_domain():
+    """domain='none' renders cfg.data.synthetic_appearance; a shaded
+    config's training distribution == the 'shaded' eval domain."""
+    import dataclasses
+    cfg_sh = dataclasses.replace(
+        CFG, data=dataclasses.replace(CFG.data,
+                                      synthetic_appearance="shaded"))
+    il_a, ir_a, *_ = synthetic_batch(cfg_sh, batch=1, seed=7, n_objects=3,
+                                     domain="none")
+    il_b, ir_b, *_ = _batch("shaded")
+    np.testing.assert_array_equal(il_a, il_b[:1])
+    np.testing.assert_array_equal(ir_a, ir_b[:1])
+
+
 def test_unknown_domain_fails_fast():
     with pytest.raises(ValueError, match="unknown domain"):
         synthetic_batch(CFG, batch=1, seed=0, domain="fog")
+    from stereo_rcnn_tpu.data.synthetic import render_pair
+    from stereo_rcnn_tpu.geometry.calib import default_kitti_calib
+    with pytest.raises(ValueError, match="unknown appearance"):
+        render_pair([], default_kitti_calib(), 64, 64,
+                    np.random.RandomState(0), appearance="matte")

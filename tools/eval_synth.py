@@ -40,9 +40,9 @@ def main():
                     help="checkpoint step to restore (default: latest)")
     ap.add_argument("--domain", default="none",
                     help="held-out appearance domain(s), comma-separated "
-                         "or 'all' (none/untinted/illum/noise): same "
-                         "scenes, perturbed appearance — bounds renderer "
-                         "circularity in the AP claim")
+                         "or 'all' (none/untinted/shaded/tinted/illum/"
+                         "noise): same scenes, perturbed appearance — "
+                         "bounds renderer circularity in the AP claim")
     ap.add_argument("--set", action="append", default=[], metavar="K=V",
                     help="dotted config override, e.g. "
                          "rcnn.roi_align_hat=kron_bf16 (repeatable); "

@@ -144,7 +144,12 @@ def main():
             # cached pools stay valid.
             cls_tag = ("" if tuple(cfg.data.classes[1:]) == ("Car",)
                        else "_" + "-".join(cfg.data.classes[1:]))
-            key = (f"v3{cls_tag}_{cfg.data.image_h}x{cfg.data.image_w}"
+            # Appearance is content-affecting; the tints default keeps
+            # the historical key so existing cached pools stay valid.
+            app_tag = ("" if cfg.data.synthetic_appearance == "tints"
+                       else f"_{cfg.data.synthetic_appearance}")
+            key = (f"v3{cls_tag}{app_tag}"
+                   f"_{cfg.data.image_h}x{cfg.data.image_w}"
                    f"_b{global_batch}_g{cfg.train.max_gt_boxes}"
                    f"_s{s}.npz")
             path = os.path.join(cache_dir, key)
